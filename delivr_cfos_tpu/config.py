@@ -1,0 +1,241 @@
+"""Typed configuration, bit-compatible with the reference ``config.json`` schema.
+
+The reference threads a raw JSON dict (``settings``) through every stage
+(reference: __main__.py:63-67) and rewrites relative input/output/collection
+paths against ``output_location`` unless ``FLAGS.ABSPATHS``
+(reference: __main__.py:36-44). We parse the same schema into frozen
+dataclasses, keep the rewriting semantics (``os.path.join`` with an absolute
+right operand is the identity, so absolute paths survive), and expose
+``to_settings_dict`` for code that needs the reference-shaped dict.
+
+Schema source of truth: reference config.json:1-76 and README.md:46-71.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+_WORK_PACKAGES = (
+    "mask_detection",
+    "blob_detection",
+    "postprocessing",
+    "atlas_alignment",
+    "region_assignment",
+    "visualization",
+)
+
+
+@dataclass(frozen=True)
+class DownsampleSteps:
+    """Voxel sizes driving the anisotropic downsample (config.json:9-16)."""
+
+    original_um_x: float = 1.62
+    original_um_y: float = 1.62
+    original_um_z: float = 6.0
+    downsample_um_x: float = 25.0
+    downsample_um_y: float = 25.0
+    downsample_um_z: float = 25.0
+
+    @property
+    def ratios_zyx(self) -> tuple[int, int, int]:
+        """Integer downsampling ratios (z, y, x), rounded as the reference does
+        (reference: downsample/downsample_and_mask.py:161-163)."""
+        return (
+            round(self.downsample_um_z / self.original_um_z),
+            round(self.downsample_um_y / self.original_um_y),
+            round(self.downsample_um_x / self.original_um_x),
+        )
+
+
+@dataclass(frozen=True)
+class MaskDetectionConfig:
+    ilastik_location: str = ""
+    ilastik_model: str = ""
+    teraconverter_location: str = ""
+    output_location: str = ""
+    downsample_steps: DownsampleSteps = field(default_factory=DownsampleSteps)
+    mask_with_Ilastik: bool = True
+    simple_threshold_value: int = 250
+
+
+@dataclass(frozen=True)
+class WindowDimensions:
+    """UNet sliding-window size (z, y, x) (config.json:24-28)."""
+
+    window_dim_0: int = 96
+    window_dim_1: int = 96
+    window_dim_2: int = 64
+
+    @property
+    def zyx(self) -> tuple[int, int, int]:
+        return (self.window_dim_0, self.window_dim_1, self.window_dim_2)
+
+
+@dataclass(frozen=True)
+class BlobDetectionConfig:
+    input_location: str = ""
+    model_location: str = ""
+    output_location: str = ""
+    window_dimensions: WindowDimensions = field(default_factory=WindowDimensions)
+
+
+@dataclass(frozen=True)
+class PostprocessingConfig:
+    input_location: str = ""
+    output_location: str = ""
+    min_size: int = -1
+    max_size: int = -1
+
+
+@dataclass(frozen=True)
+class AtlasAlignmentConfig:
+    input_location: str = ""
+    output_location: str = ""
+    mBrainAligner_location: str = ""
+    collection_folder: str = ""
+    parallel_processing: bool = True
+    landmarks_hemisphere: bool = False
+
+
+@dataclass(frozen=True)
+class RegionAssignmentConfig:
+    input_location: str = ""
+    CCF3_atlasfile: str = ""
+    CCF3_ontology: str = ""
+    output_location: str = ""
+
+
+@dataclass(frozen=True)
+class VisualizationConfig:
+    input_csv_location: str = ""
+    input_size_location: str = ""
+    input_prediction_location: str = ""
+    cache_location: str = ""
+    output_location: str = ""
+    region_id_rgb: bool = True
+    region_id_grayvalues: bool = False
+    no_atlas_depthmap: bool = False
+
+
+@dataclass(frozen=True)
+class Flags:
+    """The reference's 14 FLAGS (config.json:60-75)."""
+
+    ABSPATHS: bool = False
+    LOAD_ALL_RAM: bool = True
+    TEST_TIME_AUGMENTATION: bool = True
+    MASK_DOWNSAMPLE: bool = True
+    BLOB_DETECTION: bool = True
+    POSTPROCESSING: bool = True
+    ATLAS_ALIGNMENT: bool = True
+    REGION_ASSIGNMENT: bool = True
+    VISUALIZATION: bool = True
+    SAVE_MASK_OUTPUT: bool = True
+    SAVE_NETWORK_OUTPUT: bool = True
+    SAVE_ACTIVATED_OUTPUT: bool = False
+    SAVE_POSTPROCESSING_OUTPUT: bool = True
+    SAVE_ATLAS_OUTPUT: bool = True
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    raw_location: str = ""
+    output_location: str = ""
+    mask_detection: MaskDetectionConfig = field(default_factory=MaskDetectionConfig)
+    blob_detection: BlobDetectionConfig = field(default_factory=BlobDetectionConfig)
+    postprocessing: PostprocessingConfig = field(default_factory=PostprocessingConfig)
+    atlas_alignment: AtlasAlignmentConfig = field(default_factory=AtlasAlignmentConfig)
+    region_assignment: RegionAssignmentConfig = field(
+        default_factory=RegionAssignmentConfig
+    )
+    visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
+    FLAGS: Flags = field(default_factory=Flags)
+
+    # ---- construction -------------------------------------------------
+
+    @staticmethod
+    def from_json(path: str) -> "PipelineConfig":
+        with open(path, "r") as f:
+            return PipelineConfig.from_dict(json.load(f))
+
+    @staticmethod
+    def from_dict(raw: dict[str, Any]) -> "PipelineConfig":
+        cfg = PipelineConfig(
+            raw_location=raw.get("raw_location", ""),
+            output_location=raw.get("output_location", ""),
+            mask_detection=_build(
+                MaskDetectionConfig,
+                raw.get("mask_detection", {}),
+                nested={"downsample_steps": DownsampleSteps},
+            ),
+            blob_detection=_build(
+                BlobDetectionConfig,
+                raw.get("blob_detection", {}),
+                nested={"window_dimensions": WindowDimensions},
+            ),
+            postprocessing=_build(PostprocessingConfig, raw.get("postprocessing", {})),
+            atlas_alignment=_build(AtlasAlignmentConfig, raw.get("atlas_alignment", {})),
+            region_assignment=_build(
+                RegionAssignmentConfig, raw.get("region_assignment", {})
+            ),
+            visualization=_build(VisualizationConfig, raw.get("visualization", {})),
+            FLAGS=_build(Flags, raw.get("FLAGS", {})),
+        )
+        return cfg.resolve_paths()
+
+    # ---- path handling -------------------------------------------------
+
+    def resolve_paths(self) -> "PipelineConfig":
+        """Rewrite relative input/output/collection paths against
+        ``output_location`` unless FLAGS.ABSPATHS (reference: __main__.py:36-44)."""
+        if self.FLAGS.ABSPATHS:
+            return self
+        out = self.output_location
+        updated: dict[str, Any] = {}
+        for pkg in _WORK_PACKAGES:
+            section = getattr(self, pkg)
+            changes = {
+                f.name: os.path.join(out, getattr(section, f.name))
+                for f in dataclasses.fields(section)
+                if ("input" in f.name or "output" in f.name or "collection" in f.name)
+            }
+            updated[pkg] = dataclasses.replace(section, **changes)
+        return dataclasses.replace(self, **updated)
+
+    def setup_folders(self) -> None:
+        """Create the stage output directory tree (reference: __main__.py:17-34)."""
+        os.makedirs(self.output_location, exist_ok=True)
+        for pkg in _WORK_PACKAGES:
+            section = getattr(self, pkg)
+            out = section.output_location
+            # the reference creates output_location and its grandparent
+            parent = os.path.dirname(os.path.dirname(out.rstrip("/")))
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            os.makedirs(out, exist_ok=True)
+        os.makedirs(self.atlas_alignment.collection_folder, exist_ok=True)
+
+    # ---- reference-shaped dict ------------------------------------------
+
+    def to_settings_dict(self) -> dict[str, Any]:
+        """Reference-shaped raw settings dict (post path-resolution)."""
+        return dataclasses.asdict(self)
+
+
+def _build(cls, raw: dict[str, Any], nested: dict[str, type] | None = None):
+    """Construct dataclass ``cls`` from a raw dict, ignoring unknown keys."""
+    nested = nested or {}
+    known = {f.name for f in dataclasses.fields(cls)}
+    kwargs: dict[str, Any] = {}
+    for key, val in raw.items():
+        if key not in known:
+            continue
+        if key in nested and isinstance(val, dict):
+            kwargs[key] = _build(nested[key], val)
+        else:
+            kwargs[key] = val
+    return cls(**kwargs)

@@ -1,0 +1,476 @@
+"""Self-contained TIFF codec (no tifffile/skimage dependency in this image).
+
+The reference reads/writes light-sheet z-planes as 8/16-bit grayscale TIFFs
+via skimage/tifffile/cv2 (reference: downsample/downsample_and_mask.py:37,
+blob_highlighter.py:129-136, cells_to_atlas.py:262). This module provides the
+equivalent capability as a small pure-NumPy codec:
+
+reading  — classic + BigTIFF, little/big endian, strip- and tile-based,
+           compression: none(1), LZW(5), deflate(8/32946), PackBits(32773),
+           horizontal-differencing predictor(2), grayscale 8/16/32 and RGB(A),
+           multi-page stacks with lazy per-page access.
+writing  — uncompressed or deflate, single- or multi-page, grayscale
+           (u)int8/16/32/float32 and RGB8; one strip per page.
+
+Per-page lazy access (``tiff_page_infos`` + ``TiffPageInfo.read``) is what the
+streaming pipeline uses so a terabyte stack never has to be decoded at once.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+
+# TIFF field types → (struct fmt char, size)
+_TYPE_FMT = {
+    1: ("B", 1),  # BYTE
+    2: ("c", 1),  # ASCII
+    3: ("H", 2),  # SHORT
+    4: ("I", 4),  # LONG
+    5: ("II", 8),  # RATIONAL
+    6: ("b", 1),
+    7: ("B", 1),
+    8: ("h", 2),
+    9: ("i", 4),
+    10: ("ii", 8),
+    11: ("f", 4),
+    12: ("d", 8),
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),
+}
+
+
+# --------------------------------------------------------------------------
+# reading
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TiffPageInfo:
+    """Metadata for one TIFF page (IFD); decodes lazily via ``read``."""
+
+    path: str
+    shape: tuple  # (rows, cols) or (rows, cols, samples)
+    dtype: np.dtype
+    compression: int
+    predictor: int
+    # strip or tile layout
+    is_tiled: bool
+    tile_shape: tuple | None  # (tile_len, tile_wid) if tiled
+    rows_per_strip: int
+    data_offsets: tuple
+    data_byte_counts: tuple
+    byteorder: str  # '<' or '>'
+
+    def read(self) -> np.ndarray:
+        with open(self.path, "rb") as f:
+            return _decode_page(f, self)
+
+
+def _read_tag_values(f, entry: bytes, bo: str, big: bool):
+    if big:
+        tag, typ = struct.unpack(bo + "HH", entry[:4])
+        count = struct.unpack(bo + "Q", entry[4:12])[0]
+        inline = entry[12:20]
+        inline_size = 8
+    else:
+        tag, typ = struct.unpack(bo + "HH", entry[:4])
+        count = struct.unpack(bo + "I", entry[4:8])[0]
+        inline = entry[8:12]
+        inline_size = 4
+    if typ not in _TYPE_FMT:
+        return tag, None
+    fmt, size = _TYPE_FMT[typ]
+    nbytes = size * count
+    if nbytes <= inline_size:
+        raw = inline[:nbytes]
+    else:
+        offset = struct.unpack(bo + ("Q" if big else "I"), inline)[0]
+        pos = f.tell()
+        f.seek(offset)
+        raw = f.read(nbytes)
+        f.seek(pos)
+    if typ == 2:
+        return tag, raw.rstrip(b"\0").decode("ascii", "replace")
+    if typ in (5, 10):  # rationals → floats
+        vals = struct.unpack(bo + fmt[0] * (2 * count), raw)
+        return tag, tuple(
+            (a / b if b else 0.0) for a, b in zip(vals[::2], vals[1::2])
+        )
+    vals = struct.unpack(bo + fmt * count, raw)
+    return tag, vals
+
+
+def _parse_header(f):
+    magic = f.read(4)
+    if magic[:2] == b"II":
+        bo = "<"
+    elif magic[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    version = struct.unpack(bo + "H", magic[2:4])[0]
+    if version == 42:
+        big = False
+        first_ifd = struct.unpack(bo + "I", f.read(4))[0]
+    elif version == 43:
+        big = True
+        bytesize, _ = struct.unpack(bo + "HH", f.read(4))
+        if bytesize != 8:
+            raise ValueError("unsupported BigTIFF offset size")
+        first_ifd = struct.unpack(bo + "Q", f.read(8))[0]
+    else:
+        raise ValueError(f"bad TIFF version {version}")
+    return bo, big, first_ifd
+
+
+def tiff_page_infos(path: str) -> list[TiffPageInfo]:
+    """Parse all IFDs; returns lazy page descriptors without decoding pixels."""
+    infos = []
+    with open(path, "rb") as f:
+        bo, big, ifd_offset = _parse_header(f)
+        entry_size = 20 if big else 12
+        while ifd_offset:
+            f.seek(ifd_offset)
+            if big:
+                n_entries = struct.unpack(bo + "Q", f.read(8))[0]
+            else:
+                n_entries = struct.unpack(bo + "H", f.read(2))[0]
+            tags = {}
+            ifd_bytes = f.read(entry_size * n_entries)
+            next_ptr_pos = ifd_offset + (8 if big else 2) + entry_size * n_entries
+            for i in range(n_entries):
+                entry = ifd_bytes[i * entry_size : (i + 1) * entry_size]
+                tag, vals = _read_tag_values(f, entry, bo, big)
+                if vals is not None:
+                    tags[tag] = vals
+            f.seek(next_ptr_pos)
+            ifd_offset = struct.unpack(bo + ("Q" if big else "I"), f.read(8 if big else 4))[0]
+
+            rows = int(tags[_IMAGE_LENGTH][0])
+            cols = int(tags[_IMAGE_WIDTH][0])
+            spp = int(tags.get(_SAMPLES_PER_PIXEL, (1,))[0])
+            bps = tags.get(_BITS_PER_SAMPLE, (1,))
+            bits = int(bps[0])
+            fmt = int(tags.get(_SAMPLE_FORMAT, (1,))[0])
+            if fmt == 3:
+                base = {32: np.float32, 64: np.float64}[bits]
+            elif fmt == 2:
+                base = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+            else:
+                base = {1: np.uint8, 8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+            dtype = np.dtype(base).newbyteorder(bo)
+            planar = int(tags.get(_PLANAR_CONFIG, (1,))[0])
+            if planar != 1 and spp > 1:
+                raise ValueError("planar (separate) TIFF not supported")
+            shape = (rows, cols) if spp == 1 else (rows, cols, spp)
+
+            is_tiled = _TILE_OFFSETS in tags
+            if is_tiled:
+                offsets = tuple(int(v) for v in tags[_TILE_OFFSETS])
+                counts = tuple(int(v) for v in tags[_TILE_BYTE_COUNTS])
+                tile_shape = (
+                    int(tags[_TILE_LENGTH][0]),
+                    int(tags[_TILE_WIDTH][0]),
+                )
+                rps = 0
+            else:
+                offsets = tuple(int(v) for v in tags[_STRIP_OFFSETS])
+                counts = tuple(
+                    int(v)
+                    for v in tags.get(
+                        _STRIP_BYTE_COUNTS,
+                        (rows * cols * spp * max(bits // 8, 1),),
+                    )
+                )
+                tile_shape = None
+                rps = int(tags.get(_ROWS_PER_STRIP, (rows,))[0])
+                rps = min(rps, rows) if rps else rows
+            infos.append(
+                TiffPageInfo(
+                    path=path,
+                    shape=shape,
+                    dtype=dtype,
+                    compression=int(tags.get(_COMPRESSION, (1,))[0]),
+                    predictor=int(tags.get(_PREDICTOR, (1,))[0]),
+                    is_tiled=is_tiled,
+                    tile_shape=tile_shape,
+                    rows_per_strip=rps,
+                    data_offsets=offsets,
+                    data_byte_counts=counts,
+                    byteorder=bo,
+                )
+            )
+    return infos
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (MSB-first bit packing, early code-width change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitpos = 0
+    nbits = 9
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF early change: bump width one code earlier than generic LZW
+        if len(table) + 1 >= (1 << nbits) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i < n:
+                out += data[i : i + 1] * (257 - h)
+                i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def _decompress(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):
+        return zlib.decompress(raw)
+    if compression == 5:
+        return _lzw_decode(raw)
+    if compression == 32773:
+        return _packbits_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    if predictor == 2:
+        np.cumsum(arr, axis=-2 if arr.ndim == 3 else -1, dtype=arr.dtype, out=arr)
+    return arr
+
+
+def _decode_page(f, info: TiffPageInfo) -> np.ndarray:
+    rows, cols = info.shape[0], info.shape[1]
+    spp = info.shape[2] if len(info.shape) == 3 else 1
+    itemsize = info.dtype.itemsize
+    if info.is_tiled:
+        tl, tw = info.tile_shape
+        tiles_across = -(-cols // tw)
+        out = np.zeros((rows + (-rows) % tl, cols + (-cols) % tw, spp), info.dtype)
+        for idx, (off, cnt) in enumerate(
+            zip(info.data_offsets, info.data_byte_counts)
+        ):
+            f.seek(off)
+            raw = _decompress(f.read(cnt), info.compression)
+            tile = np.frombuffer(raw, info.dtype, count=tl * tw * spp).reshape(
+                tl, tw, spp
+            )
+            if info.predictor == 2:
+                tile = _undo_predictor(tile.copy(), 2)
+            r = (idx // tiles_across) * tl
+            c = (idx % tiles_across) * tw
+            out[r : r + tl, c : c + tw] = tile
+        out = out[:rows, :cols]
+    else:
+        out = np.zeros((rows, cols, spp), info.dtype)
+        r = 0
+        for off, cnt in zip(info.data_offsets, info.data_byte_counts):
+            f.seek(off)
+            raw = _decompress(f.read(cnt), info.compression)
+            n_rows = min(info.rows_per_strip, rows - r)
+            usable = n_rows * cols * spp * itemsize
+            strip = np.frombuffer(raw[:usable], info.dtype).reshape(
+                n_rows, cols, spp
+            )
+            if info.predictor == 2:
+                strip = _undo_predictor(strip.copy(), 2)
+            out[r : r + n_rows] = strip
+            r += n_rows
+    out = np.ascontiguousarray(out.astype(info.dtype.newbyteorder("=")))
+    return out[:, :, 0] if spp == 1 else out
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Read a TIFF file: 2D (gray), 3D (multi-page gray or single-page RGB),
+    or 4D (multi-page RGB)."""
+    infos = tiff_page_infos(path)
+    pages = [p.read() for p in infos]
+    if len(pages) == 1:
+        return pages[0]
+    return np.stack(pages, axis=0)
+
+
+def read_tiff_stack(paths) -> np.ndarray:
+    """Read a z-stack stored as one single-page TIFF per z-plane."""
+    return np.stack([read_tiff(p) for p in paths], axis=0)
+
+
+# --------------------------------------------------------------------------
+# writing
+# --------------------------------------------------------------------------
+
+
+def _dtype_tags(dtype: np.dtype):
+    dtype = np.dtype(dtype)
+    bits = dtype.itemsize * 8
+    if dtype.kind == "u":
+        fmt = 1
+    elif dtype.kind == "i":
+        fmt = 2
+    elif dtype.kind == "f":
+        fmt = 3
+    else:
+        raise ValueError(f"cannot write dtype {dtype}")
+    return bits, fmt
+
+
+def write_tiff(path: str, image: np.ndarray, compress: bool = False) -> None:
+    """Write a 2D grayscale, (rows, cols, 3) RGB8, or 3D multi-page stack."""
+    image = np.asarray(image)
+    if image.ndim == 2:
+        pages = [image]
+    elif image.ndim == 3 and image.shape[-1] in (3, 4) and image.shape[0] not in (3, 4):
+        pages = [image]
+    elif image.ndim == 3:
+        pages = list(image)
+    elif image.ndim == 4:
+        pages = list(image)
+    else:
+        raise ValueError(f"cannot write array of shape {image.shape}")
+    _write_pages(path, pages, compress)
+
+
+def write_tiff_stack(path: str, stack: np.ndarray, compress: bool = False) -> None:
+    """Write a (z, y, x[, c]) stack as one multi-page TIFF."""
+    write_tiff(path, np.asarray(stack), compress=compress)
+
+
+def _write_pages(path: str, pages, compress: bool) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"II*\0")
+        next_ifd_ptr_pos = f.tell()
+        f.write(struct.pack("<I", 0))
+        for page in pages:
+            page = np.ascontiguousarray(page)
+            if page.dtype.byteorder == ">":
+                page = page.astype(page.dtype.newbyteorder("<"))
+            rows, cols = page.shape[:2]
+            spp = page.shape[2] if page.ndim == 3 else 1
+            bits, fmt = _dtype_tags(page.dtype)
+            raw = page.tobytes()
+            data = zlib.compress(raw, 6) if compress else raw
+            data_offset = f.tell()
+            f.write(data)
+            if f.tell() % 2:
+                f.write(b"\0")
+            ifd_offset = f.tell()
+            # patch previous next-IFD pointer
+            f.seek(next_ifd_ptr_pos)
+            f.write(struct.pack("<I", ifd_offset))
+            f.seek(ifd_offset)
+
+            def entry(tag, typ, count, value):
+                fmt_char, size = _TYPE_FMT[typ]
+                packed = struct.pack("<" + fmt_char * count, *value) if isinstance(
+                    value, tuple
+                ) else struct.pack("<" + fmt_char, value)
+                packed = packed.ljust(4, b"\0")
+                return struct.pack("<HHI", tag, typ, count) + packed[:4]
+
+            entries = [
+                entry(_IMAGE_WIDTH, 4, 1, cols),
+                entry(_IMAGE_LENGTH, 4, 1, rows),
+                entry(_BITS_PER_SAMPLE, 3, 1, bits)
+                if spp == 1
+                else None,
+                entry(_COMPRESSION, 3, 1, 8 if compress else 1),
+                entry(_PHOTOMETRIC, 3, 1, 2 if spp >= 3 else 1),
+                entry(_STRIP_OFFSETS, 4, 1, data_offset),
+                entry(_SAMPLES_PER_PIXEL, 3, 1, spp),
+                entry(_ROWS_PER_STRIP, 4, 1, rows),
+                entry(_STRIP_BYTE_COUNTS, 4, 1, len(data)),
+                entry(_SAMPLE_FORMAT, 3, 1, fmt),
+            ]
+            if spp > 1:
+                # BitsPerSample needs `spp` SHORT values; ≤2 fit inline only if
+                # spp ≤ 2, so write the array after the IFD for RGB(A).
+                entries[2] = None  # placeholder; handled below
+            entries = [e for e in entries if e is not None]
+            bps_external = spp > 1
+            n = len(entries) + (1 if bps_external else 0)
+            f.write(struct.pack("<H", n))
+            # IFD entries must be sorted by tag id
+            all_entries = entries
+            if bps_external:
+                bps_array_offset = (
+                    ifd_offset + 2 + 12 * n + 4
+                )  # right after next-IFD pointer
+                all_entries = entries + [
+                    struct.pack("<HHI", _BITS_PER_SAMPLE, 3, spp)
+                    + struct.pack("<I", bps_array_offset)
+                ]
+            all_entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+            for e in all_entries:
+                f.write(e)
+            next_ifd_ptr_pos = f.tell()
+            f.write(struct.pack("<I", 0))
+            if bps_external:
+                f.write(struct.pack("<" + "H" * spp, *([bits] * spp)))
+    os.replace(tmp, path)
