@@ -1,0 +1,331 @@
+"""TPU sliding-window inference engine.
+
+Rebuilds the reference's forked MONAI inferer
+(reference: inference/sliding_window_inferer.py) as an HBM-resident engine:
+
+- The dense window grid uses the exact reference semantics: per-dim stride
+  ``int(roi·(1−overlap))`` (sliding_window_inferer.py:255-276) and clamped
+  last-window starts (MONAI ``dense_patch_slices``).
+- The **host** decides, once per volume, which windows are background
+  (window max ≤ threshold → the reference skips the model and emits constant
+  −1000 logits, sliding_window_inferer.py:197-202). Active windows are padded
+  to fixed-size batches so every device step has a static shape; background
+  windows are folded in analytically by a cheap constant-accumulate kernel.
+  This keeps the reference's semantics while turning its per-batch Python
+  branching into data-independent, fully compiled device work.
+- Accumulation happens **on device** in float32 (the reference accumulates
+  float16 on host; float32-on-HBM is strictly more accurate and removes the
+  per-batch host↔device round trip that dominates the reference's runtime —
+  SURVEY.md §3.3).
+- TTA matches the reference: 1 base pass + 4 × (noise, noise+flip-z,
+  noise+flip-y) = 13 passes; Gaussian noise std 1e-3 applied to the gathered
+  window batch after float cast; flips are applied per-window and inverted
+  before accumulation (reference: inference.py:269-279,
+  sliding_window_inferer.py:211-226).
+- The importance map is uniform — the reference's fork hardcodes
+  ``mode='constant'`` despite requesting gaussian at the call site
+  (sliding_window_inferer.py:148) — so blending is pure count-map averaging.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, basic_unet_apply
+from delivr_cfos_tpu.ops.morphology import binarize_logits
+
+SKIP_LOGIT = -1000.0  # constant emitted for background windows (reference)
+
+
+@dataclass(frozen=True)
+class SlidingWindowConfig:
+    roi: tuple = (96, 96, 64)  # (z, y, x), config.json:24-28
+    overlap: float = 0.5  # inference.py:125
+    batch_size: int = 8
+    background_threshold: int = 0  # sliding_window_inferer.py:50
+    tta: bool = False
+    tta_noise_std: float = 1e-3  # sliding_window_inferer.py:215
+    threshold: float = 0.5  # sigmoid cutoff, inference.py:120
+    erosion_iters: int = 30  # inference.py:84
+    seed: int = 0
+
+
+# --------------------------------------------------------------------------
+# window grid (exact reference semantics)
+# --------------------------------------------------------------------------
+
+
+def scan_interval(image_size, roi_size, overlap: float) -> tuple:
+    """Per-dim stride: ``roi`` if roi covers the dim, else
+    ``int(roi·(1−overlap))`` min 1 (reference: sliding_window_inferer.py:255-276)."""
+    out = []
+    for img, roi in zip(image_size, roi_size):
+        if roi == img:
+            out.append(int(roi))
+        else:
+            interval = int(roi * (1 - overlap))
+            out.append(interval if interval > 0 else 1)
+    return tuple(out)
+
+
+def _dim_starts(img: int, roi: int, interval: int) -> list:
+    """MONAI dense_patch_slices: ceil((img−roi)/interval)+1 windows, the last
+    clamped to img−roi."""
+    if roi >= img:
+        return [0]
+    scan_num = int(math.ceil((img - roi) / interval)) + 1
+    return [min(i * interval, img - roi) for i in range(scan_num)]
+
+
+def dense_patch_starts(image_size, roi_size, overlap: float) -> np.ndarray:
+    """All window start coordinates, shape (N, 3) int32, z-major order."""
+    interval = scan_interval(image_size, roi_size, overlap)
+    zs = _dim_starts(image_size[0], roi_size[0], interval[0])
+    ys = _dim_starts(image_size[1], roi_size[1], interval[1])
+    xs = _dim_starts(image_size[2], roi_size[2], interval[2])
+    grid = np.array(
+        [(z, y, x) for z in zs for y in ys for x in xs], dtype=np.int32
+    )
+    return grid
+
+
+# --------------------------------------------------------------------------
+# jitted device steps
+# --------------------------------------------------------------------------
+
+
+def _gather_windows(volume, starts, roi):
+    """(B, 3) starts → (B, *roi) windows via vmapped dynamic_slice."""
+    def one(s):
+        return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]), roi)
+
+    return jax.vmap(one)(starts)
+
+
+@partial(jax.jit, static_argnames=("roi", "flip_axis", "use_noise", "model_cfg"), donate_argnames=("acc", "cnt"))
+def _infer_accumulate_step(
+    params,
+    volume,
+    acc,
+    cnt,
+    starts,
+    valid,
+    key,
+    noise_std,
+    *,
+    roi,
+    flip_axis,
+    use_noise,
+    model_cfg,
+):
+    """Gather a window batch, run the UNet, overlap-add into acc/cnt.
+
+    ``valid`` masks out batch-padding lanes. ``flip_axis`` is a window-space
+    spatial axis (0=z, 1=y) or None. Buffers ``acc``/``cnt`` are donated —
+    the update is in-place in HBM.
+    """
+    windows = _gather_windows(volume, starts, roi).astype(jnp.float32)
+    if use_noise:
+        noise = jax.random.normal(key, windows.shape, jnp.float32) * noise_std
+        windows = windows + noise
+    x = windows[..., None]  # (B, z, y, x, 1)
+    if flip_axis is not None:
+        x = jnp.flip(x, axis=flip_axis + 1)
+    logits = basic_unet_apply(params, x, model_cfg)
+    if flip_axis is not None:
+        logits = jnp.flip(logits, axis=flip_axis + 1)
+    contrib = logits[..., 0].astype(jnp.float32)  # (B, z, y, x)
+    w = valid.astype(jnp.float32)
+
+    def body(i, carry):
+        a, c = carry
+        s = starts[i]
+        patch_a = jax.lax.dynamic_slice(a, (s[0], s[1], s[2]), roi)
+        patch_c = jax.lax.dynamic_slice(c, (s[0], s[1], s[2]), roi)
+        a = jax.lax.dynamic_update_slice(
+            a, patch_a + contrib[i] * w[i], (s[0], s[1], s[2])
+        )
+        c = jax.lax.dynamic_update_slice(
+            c, patch_c + valid[i].astype(cnt.dtype), (s[0], s[1], s[2])
+        )
+        return a, c
+
+    acc, cnt = jax.lax.fori_loop(0, starts.shape[0], body, (acc, cnt))
+    return acc, cnt
+
+
+@partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
+def _skip_accumulate_step(acc, cnt, starts, valid, *, roi):
+    """Fold background windows in: constant −1000 logits, count += 1
+    (reference: sliding_window_inferer.py:197-202)."""
+
+    def body(i, carry):
+        a, c = carry
+        s = starts[i]
+        patch_a = jax.lax.dynamic_slice(a, (s[0], s[1], s[2]), roi)
+        patch_c = jax.lax.dynamic_slice(c, (s[0], s[1], s[2]), roi)
+        w = valid[i].astype(jnp.float32)
+        a = jax.lax.dynamic_update_slice(
+            a, patch_a + SKIP_LOGIT * w, (s[0], s[1], s[2])
+        )
+        c = jax.lax.dynamic_update_slice(
+            c, patch_c + valid[i].astype(cnt.dtype), (s[0], s[1], s[2])
+        )
+        return a, c
+
+    return jax.lax.fori_loop(0, starts.shape[0], body, (acc, cnt))
+
+
+@partial(jax.jit, static_argnames=("roi", "batch",))
+def _window_maxes(volume, starts, *, roi, batch):
+    """Max intensity per window, for host-side background scheduling."""
+    n = starts.shape[0]
+
+    def body(i, out):
+        s = jax.lax.dynamic_slice(starts, (i * batch, 0), (batch, 3))
+        wins = _gather_windows(volume, s, roi)
+        m = jnp.max(wins.reshape(batch, -1), axis=1)
+        return jax.lax.dynamic_update_slice(out, m, (i * batch,))
+
+    n_batches = n // batch
+    out = jnp.zeros((starts.shape[0],), volume.dtype)
+    return jax.lax.fori_loop(0, n_batches, body, out)
+
+
+@jax.jit
+def _divide(acc, cnt):
+    return acc / jnp.maximum(cnt, 1).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# host orchestration (single device, volume resident in HBM)
+# --------------------------------------------------------------------------
+
+
+def _pad_to_batches(arr: np.ndarray, batch: int):
+    """Pad (N, ...) to a multiple of ``batch``; returns (padded, valid mask)."""
+    n = arr.shape[0]
+    n_pad = (-n) % batch
+    valid = np.ones((n + n_pad,), dtype=np.int32)
+    if n_pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], n_pad, axis=0)], axis=0)
+        valid[n:] = 0
+    return arr, valid
+
+
+def _tta_passes(cfg: SlidingWindowConfig):
+    """(use_noise, flip_axis) per pass: 1 base + 4×(noise, z-flip, y-flip)
+    (reference: inference.py:269-279)."""
+    passes = [(False, None)]
+    if cfg.tta:
+        for _ in range(4):
+            passes += [(True, None), (True, 0), (True, 1)]
+    return passes
+
+
+def infer_volume(
+    params,
+    volume: np.ndarray,
+    cfg: SlidingWindowConfig = SlidingWindowConfig(),
+    model_cfg: BasicUNetConfig = BasicUNetConfig(),
+    return_binary: bool = True,
+):
+    """Run sliding-window UNet inference over a (Z, Y, X) volume resident in
+    device memory. Returns (mean_logits f32, binaries uint8 | None), both on
+    device, cropped to the input shape.
+
+    For volumes larger than HBM use the streaming engine
+    (delivr_cfos_tpu.engine.streaming).
+    """
+    roi = tuple(cfg.roi)
+    orig_shape = volume.shape
+    # reflect-pad when smaller than roi (reference: sliding_window_inferer.py:119-136)
+    pads = [(0, 0)] * 3
+    need_pad = False
+    for i in range(3):
+        diff = max(roi[i] - volume.shape[i], 0)
+        if diff:
+            pads[i] = (diff // 2, diff - diff // 2)
+            need_pad = True
+    if need_pad:
+        volume = np.pad(volume, pads, mode="reflect")
+
+    image_size = volume.shape
+    starts = dense_patch_starts(image_size, roi, cfg.overlap)
+
+    vol_dev = jnp.asarray(volume)
+    acc = jnp.zeros(image_size, jnp.float32)
+    cnt = jnp.zeros(image_size, jnp.int32)
+
+    # --- host-side background scheduling ---------------------------------
+    starts_padded, _ = _pad_to_batches(starts, cfg.batch_size)
+    maxes = np.asarray(
+        _window_maxes(vol_dev, jnp.asarray(starts_padded), roi=roi, batch=cfg.batch_size)
+    )[: starts.shape[0]]
+    active_mask = maxes > cfg.background_threshold
+    active = starts[active_mask]
+    skipped = starts[~active_mask]
+
+    passes = _tta_passes(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # --- background windows: constant accumulate, once per pass ----------
+    if skipped.shape[0]:
+        sk, sk_valid = _pad_to_batches(skipped, cfg.batch_size)
+        sk = jnp.asarray(sk)
+        sk_valid_all = jnp.asarray(sk_valid * len(passes), dtype=jnp.int32)
+        # one fused loop: weight each window by the number of passes
+        for b in range(0, sk.shape[0], cfg.batch_size):
+            acc, cnt = _skip_accumulate_step(
+                acc,
+                cnt,
+                sk[b : b + cfg.batch_size],
+                sk_valid_all[b : b + cfg.batch_size],
+                roi=roi,
+            )
+
+    # --- active windows: model passes -------------------------------------
+    if active.shape[0]:
+        act, act_valid = _pad_to_batches(active, cfg.batch_size)
+        act_dev = jnp.asarray(act)
+        valid_dev = jnp.asarray(act_valid)
+        noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+        for use_noise, flip_axis in passes:
+            for b in range(0, act.shape[0] + (-act.shape[0]) % cfg.batch_size, cfg.batch_size):
+                key, sub = jax.random.split(key)
+                acc, cnt = _infer_accumulate_step(
+                    params,
+                    vol_dev,
+                    acc,
+                    cnt,
+                    act_dev[b : b + cfg.batch_size],
+                    valid_dev[b : b + cfg.batch_size],
+                    sub,
+                    noise_std,
+                    roi=roi,
+                    flip_axis=flip_axis,
+                    use_noise=use_noise,
+                    model_cfg=model_cfg,
+                )
+
+    mean_logits = _divide(acc, cnt)
+    # crop back the reflect padding
+    sl = tuple(
+        slice(pads[i][0], pads[i][0] + orig_shape[i]) for i in range(3)
+    )
+    mean_logits = mean_logits[sl]
+    binaries = None
+    if return_binary:
+        binaries = binarize_logits(
+            mean_logits,
+            jnp.asarray(volume)[sl],
+            threshold=cfg.threshold,
+            erosion_iters=cfg.erosion_iters,
+        )
+    return mean_logits, binaries

@@ -1,0 +1,258 @@
+"""3D connected-component labeling + per-component statistics (replaces cc3d, N4).
+
+The reference calls the C++ ``cc3d`` extension with default 26-connectivity
+and then ``cc3d.statistics`` for voxel counts / centroids / bounding boxes
+(reference: count_blobs.py:61-85, blob_highlighter.py:85-88).
+
+This module provides three interchangeable engines:
+
+- ``label_volume_device``: XLA label propagation — every foreground voxel
+  starts as its own linear-index label and iteratively takes the minimum
+  label over its 26-neighborhood until fixpoint (``lax.while_loop``). cFos
+  cells are small (tens of voxels across at most), so convergence is fast;
+  the op is pure VPU work and shards spatially.
+- ``label_volume_host``: scipy 26-connected two-pass labeling (exact
+  reference algorithm class); used for verification and as the default for
+  host-side post-processing.
+- slab streaming: ``label_slabs_streaming`` labels z-slabs independently
+  (device or host) and merges labels across slab faces with a union-find,
+  so terabyte volumes never need a global pass.
+
+Label values follow the cc3d/scipy convention: 0 = background, components
+numbered 1..N. After ``relabel_sequential_raster`` both engines produce the
+identical canonical labeling (first-raster-voxel order), which keeps the
+downstream CSV contract deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+_STRUCT_26 = np.ones((3, 3, 3), dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# host engine (scipy two-pass; exact and fast for post-processing)
+# --------------------------------------------------------------------------
+
+
+def label_volume_host(binary: np.ndarray) -> tuple:
+    """26-connected labeling; returns (labels int32, n_components)."""
+    labels, n = ndimage.label(binary > 0, structure=_STRUCT_26)
+    return labels.astype(np.int32), int(n)
+
+
+# --------------------------------------------------------------------------
+# device engine (label propagation)
+# --------------------------------------------------------------------------
+
+
+def _neighbor_min(lbl: jnp.ndarray, big: jnp.ndarray) -> jnp.ndarray:
+    """Min label over the 26-neighborhood + self. Background voxels carry a
+    sentinel (big) so they never win; implemented as a 3×3×3 min reduce_window
+    which XLA lowers to a handful of fused shifts."""
+    return -jax.lax.reduce_window(
+        -lbl,
+        -big,
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+
+
+@jax.jit
+def _label_device_impl(binary: jnp.ndarray):
+    shape = binary.shape
+    n = int(np.prod(shape))
+    big = jnp.int32(n + 1)
+    fg = binary > 0
+    init = jnp.where(
+        fg,
+        jnp.arange(n, dtype=jnp.int32).reshape(shape),
+        big,
+    )
+
+    def cond(state):
+        lbl, changed = state
+        return changed
+
+    def body(state):
+        lbl, _ = state
+        nxt = jnp.where(fg, jnp.minimum(lbl, _neighbor_min(lbl, big)), big)
+        return nxt, jnp.any(nxt != lbl)
+
+    lbl, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return jnp.where(fg, lbl, -1)
+
+
+def label_volume_device(binary) -> tuple:
+    """XLA propagation labeling; returns (labels int32 canonical 1..N, n)."""
+    raw = np.asarray(_label_device_impl(jnp.asarray(binary)))
+    return _canonicalize_raw_labels(raw)
+
+
+def _canonicalize_raw_labels(raw: np.ndarray) -> tuple:
+    """Map arbitrary root labels (−1 = background) to 1..N in raster order of
+    first appearance (the cc3d/scipy numbering convention)."""
+    flat = raw.ravel()
+    fg = flat >= 0
+    roots = flat[fg]
+    # order of first appearance in raster order
+    uniq, first_idx = np.unique(roots, return_index=True)
+    order = np.argsort(first_idx)
+    remap = np.empty(uniq.shape[0], dtype=np.int32)
+    remap[order] = np.arange(1, uniq.shape[0] + 1, dtype=np.int32)
+    lut = dict()  # root value → new label; roots can be large ints
+    out = np.zeros(flat.shape[0], np.int32)
+    idx = np.searchsorted(uniq, roots)
+    out[fg] = remap[idx]
+    labels = out.reshape(raw.shape)
+    return labels, int(uniq.shape[0])
+
+
+# --------------------------------------------------------------------------
+# slab streaming with cross-face merging
+# --------------------------------------------------------------------------
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, a):
+        p = self.parent
+        root = a
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(a, a) != a:
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def label_slabs_streaming(slab_iter, label_fn=label_volume_host):
+    """Label a volume delivered as consecutive z-slabs.
+
+    ``slab_iter`` yields (z_offset, slab uint8). Yields (z_offset,
+    labels int64 with globally-unique provisional ids) after consuming the
+    whole stream; returns the final relabeling LUT via the second element.
+
+    Returns (list of (z_offset, provisional_labels), remap dict, n_components).
+    26-connectivity across faces: voxels on the last plane of slab k connect
+    to any of the 9 neighbors on the first plane of slab k+1.
+    """
+    uf = _UnionFind()
+    slabs = []
+    next_base = 1
+    prev_last_plane = None
+    prev_offset = None
+    for z_off, slab in slab_iter:
+        labels, n = label_fn(slab)
+        glob = labels.astype(np.int64)
+        glob[glob > 0] += next_base - 1
+        if prev_last_plane is not None:
+            first = glob[0]
+            # 26-connectivity between consecutive planes: 3×3 neighborhood
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    a = prev_last_plane
+                    b = first
+                    ay0, ay1 = max(dy, 0), a.shape[0] + min(dy, 0)
+                    ax0, ax1 = max(dx, 0), a.shape[1] + min(dx, 0)
+                    by0, by1 = max(-dy, 0), b.shape[0] + min(-dy, 0)
+                    bx0, bx1 = max(-dx, 0), b.shape[1] + min(-dx, 0)
+                    av = a[ay0:ay1, ax0:ax1]
+                    bv = b[by0:by1, bx0:bx1]
+                    both = (av > 0) & (bv > 0)
+                    if both.any():
+                        pairs = np.unique(
+                            np.stack([av[both], bv[both]], axis=1), axis=0
+                        )
+                        for pa, pb in pairs:
+                            uf.union(int(pa), int(pb))
+        slabs.append((z_off, glob))
+        next_base += n
+        prev_last_plane = glob[-1]
+        prev_offset = z_off
+    # canonical remap: roots sorted by first (provisional) appearance
+    roots = {}
+    for _, glob in slabs:
+        for v in np.unique(glob):
+            if v > 0:
+                r = uf.find(int(v))
+                if r not in roots or v < roots[r]:
+                    roots.setdefault(r, v)
+    ordered = sorted(roots, key=lambda r: roots[r])
+    final = {r: i + 1 for i, r in enumerate(ordered)}
+    remap = {}
+    for _, glob in slabs:
+        for v in np.unique(glob):
+            if v > 0:
+                remap[int(v)] = final[uf.find(int(v))]
+    return slabs, remap, len(ordered)
+
+
+def apply_remap(labels: np.ndarray, remap: dict) -> np.ndarray:
+    if not remap:
+        return labels.astype(np.int32)
+    max_v = max(remap)
+    lut = np.zeros(max_v + 1, np.int32)
+    for k, v in remap.items():
+        lut[k] = v
+    out = np.zeros(labels.shape, np.int32)
+    fg = labels > 0
+    out[fg] = lut[labels[fg]]
+    return out
+
+
+# --------------------------------------------------------------------------
+# statistics (cc3d.statistics equivalent)
+# --------------------------------------------------------------------------
+
+
+def component_statistics(labels: np.ndarray, n: int) -> dict:
+    """voxel_counts, centroids (z, y, x float64), bounding_boxes per label
+    1..n, matching ``cc3d.statistics(..., no_slice_conversion=True)`` fields.
+    ``voxel_counts[0]``/row 0 refer to background, like cc3d."""
+    flat = labels.ravel()
+    counts = np.bincount(flat[flat >= 0], minlength=n + 1).astype(np.int64)
+    zz, yy, xx = np.nonzero(labels > 0)
+    vals = labels[zz, yy, xx]
+    centroids = np.full((n + 1, 3), np.nan, np.float64)
+    if vals.size:
+        sz = np.bincount(vals, weights=zz, minlength=n + 1)
+        sy = np.bincount(vals, weights=yy, minlength=n + 1)
+        sx = np.bincount(vals, weights=xx, minlength=n + 1)
+        c = counts.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            centroids[:, 0] = sz / c
+            centroids[:, 1] = sy / c
+            centroids[:, 2] = sx / c
+    # bounding boxes: (zmin, zmax, ymin, ymax, xmin, xmax) inclusive
+    bboxes = np.zeros((n + 1, 6), np.int64)
+    if vals.size:
+        for axis, coords in enumerate((zz, yy, xx)):
+            mins = np.full(n + 1, np.iinfo(np.int64).max)
+            maxs = np.full(n + 1, -1)
+            np.minimum.at(mins, vals, coords)
+            np.maximum.at(maxs, vals, coords)
+            bboxes[:, 2 * axis] = np.where(counts > 0, mins, 0)
+            bboxes[:, 2 * axis + 1] = np.where(counts > 0, maxs, 0)
+        bboxes[0] = 0
+    return {
+        "voxel_counts": counts,
+        "centroids": centroids,
+        "bounding_boxes": bboxes,
+    }

@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from scipy.ndimage import binary_erosion
+
+from delivr_cfos_tpu.engine.sliding_window import (
+    SKIP_LOGIT,
+    SlidingWindowConfig,
+    dense_patch_starts,
+    infer_volume,
+    scan_interval,
+)
+from delivr_cfos_tpu.models import BasicUNetConfig, basic_unet_apply, init_params
+from delivr_cfos_tpu.ops.morphology import binary_erosion_cross, binarize_logits
+
+TINY = (4, 4, 8, 16, 32, 4)
+MODEL_CFG = BasicUNetConfig(features=TINY)
+ROI = (32, 32, 16)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(7), MODEL_CFG)
+
+
+def _test_volume(shape=(48, 48, 32), seed=0):
+    """Random blobs in the right half; left portion all zero (background)."""
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.uint16)
+    half = vol[:, shape[1] // 2 :, :]
+    half[:] = (rng.random(half.shape) * 800).astype(np.uint16)
+    return vol
+
+
+# ---------------- grid semantics ----------------
+
+
+def test_scan_interval_matches_reference():
+    # reference: int(roi*(1-overlap)); roi==img → roi
+    assert scan_interval((96, 96, 64), (96, 96, 64), 0.5) == (96, 96, 64)
+    assert scan_interval((192, 300, 64), (96, 96, 64), 0.5) == (48, 48, 64)
+    assert scan_interval((192, 300, 128), (96, 96, 64), 0.25) == (72, 72, 48)
+
+
+def test_dense_patch_starts_clamped():
+    starts = dense_patch_starts((100, 32, 16), (32, 32, 16), 0.5)
+    zs = sorted(set(s[0] for s in starts))
+    # ceil((100-32)/16)+1 = 6 windows; last clamped to 68
+    assert zs == [0, 16, 32, 48, 64, 68]
+    assert all(s[1] == 0 and s[2] == 0 for s in starts)
+
+
+# ---------------- numpy golden implementation ----------------
+
+
+def _golden_numpy(params, volume, cfg, passes):
+    """Reference-faithful loop: per-window model, −1000 skip, count divide."""
+    starts = dense_patch_starts(volume.shape, cfg.roi, cfg.overlap)
+    acc = np.zeros(volume.shape, np.float64)
+    cnt = np.zeros(volume.shape, np.int64)
+    rz, ry, rx = cfg.roi
+    for flip_axis in passes:
+        for (z, y, x) in starts:
+            win = volume[z : z + rz, y : y + ry, x : x + rx]
+            if win.max() <= cfg.background_threshold:
+                acc[z : z + rz, y : y + ry, x : x + rx] += SKIP_LOGIT
+                cnt[z : z + rz, y : y + ry, x : x + rx] += 1
+                continue
+            xw = win.astype(np.float32)[None, ..., None]
+            if flip_axis is not None:
+                xw = np.flip(xw, axis=flip_axis + 1)
+            logits = np.asarray(
+                basic_unet_apply(params, jnp.asarray(xw), MODEL_CFG)
+            )
+            if flip_axis is not None:
+                logits = np.flip(logits, axis=flip_axis + 1)
+            acc[z : z + rz, y : y + ry, x : x + rx] += logits[0, ..., 0]
+            cnt[z : z + rz, y : y + ry, x : x + rx] += 1
+    return acc / np.maximum(cnt, 1)
+
+
+def test_engine_matches_golden_single_pass(params):
+    vol = _test_volume()
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+    mean_logits, binaries = infer_volume(params, vol, cfg, MODEL_CFG)
+    golden = _golden_numpy(params, vol, cfg, passes=[None])
+    np.testing.assert_allclose(np.asarray(mean_logits), golden, rtol=1e-4, atol=1e-4)
+
+    # binarization chain golden: sigmoid≥0.5 AND eroded mask (scipy semantics)
+    seg = 1.0 / (1.0 + np.exp(-golden)) >= cfg.threshold
+    mask = binary_erosion(
+        (vol > 0).astype(np.uint8), iterations=cfg.erosion_iters, border_value=1
+    )
+    expected = (seg & mask.astype(bool)).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(binaries), expected)
+
+
+def test_engine_matches_golden_tta_flips_no_noise(params):
+    """TTA with noise std 0 is deterministic: 1 base + 4×(id, flip-z, flip-y)."""
+    vol = _test_volume(seed=3)
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=8, tta=True, tta_noise_std=0.0
+    )
+    mean_logits, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
+    passes = [None] + 4 * [None, 0, 1]
+    golden = _golden_numpy(params, vol, cfg, passes=passes)
+    np.testing.assert_allclose(np.asarray(mean_logits), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_background_only(params):
+    """All-zero volume: every window skipped, output all −1000 → binary 0."""
+    vol = np.zeros((32, 32, 16), np.uint16)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=2)
+    mean_logits, binaries = infer_volume(params, vol, cfg, MODEL_CFG)
+    np.testing.assert_allclose(np.asarray(mean_logits), SKIP_LOGIT)
+    assert np.asarray(binaries).max() == 0
+
+
+def test_engine_reflect_pads_small_volume(params):
+    """Volume smaller than roi gets reflect-padded then cropped back."""
+    vol = _test_volume(shape=(20, 40, 32), seed=5)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=2)
+    mean_logits, binaries = infer_volume(params, vol, cfg, MODEL_CFG)
+    assert np.asarray(mean_logits).shape == vol.shape
+    assert np.asarray(binaries).shape == vol.shape
+
+
+# ---------------- morphology ----------------
+
+
+@pytest.mark.parametrize("iters", [1, 3, 7])
+def test_erosion_matches_scipy(iters):
+    rng = np.random.default_rng(11)
+    mask = (rng.random((24, 30, 18)) > 0.35).astype(np.uint8)
+    ours = np.asarray(binary_erosion_cross(jnp.asarray(mask), iters))
+    ref = binary_erosion(mask, iterations=iters, border_value=1).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_binarize_logits_masks_background():
+    logits = np.full((10, 10, 10), 5.0, np.float32)  # sigmoid ≈ 1
+    vol = np.zeros((10, 10, 10), np.uint16)
+    vol[2:8, 2:8, 2:8] = 100
+    out = np.asarray(binarize_logits(jnp.asarray(logits), jnp.asarray(vol), 0.5, 1))
+    # erosion(1) of the 6³ cube leaves a 4³ interior... but border_value=1
+    # protects nothing here since the cube is interior
+    expected = binary_erosion(
+        (vol > 0).astype(np.uint8), iterations=1, border_value=1
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(out, expected)
