@@ -247,3 +247,22 @@ def init_params(key, config: BasicUNetConfig = BasicUNetConfig()):
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def infer_model_config(params, compute_dtype=jnp.float32, precision="highest") -> BasicUNetConfig:
+    """Reconstruct the architecture config from a loaded param pytree."""
+    features = (
+        int(params["conv_0"]["conv_1"]["w"].shape[-1]),
+        int(params["down_1"]["conv_1"]["w"].shape[-1]),
+        int(params["down_2"]["conv_1"]["w"].shape[-1]),
+        int(params["down_3"]["conv_1"]["w"].shape[-1]),
+        int(params["down_4"]["conv_1"]["w"].shape[-1]),
+        int(params["upcat_1"]["conv_1"]["w"].shape[-1]),
+    )
+    return BasicUNetConfig(
+        in_channels=int(params["conv_0"]["conv_0"]["w"].shape[-2]),
+        out_channels=int(params["final"]["w"].shape[-1]),
+        features=features,
+        compute_dtype=compute_dtype,
+        precision=precision,
+    )

@@ -68,6 +68,42 @@ def torch_state_dict_to_params(state_dict: dict) -> dict:
     return params
 
 
+def save_params_npz(path: str, params: dict) -> None:
+    """Save a param pytree as .npz (framework-native weight format)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}{k}/", v)
+        else:
+            flat[prefix[:-1]] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    """Load a .npz saved by ``save_params_npz`` back into the nested pytree."""
+    params: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return params
+
+
+def load_weights(path: str) -> dict:
+    """Load UNet weights from either the framework .npz format or the
+    reference's torch .tar checkpoint (auto-detected by extension)."""
+    if path.endswith(".npz"):
+        return load_params_npz(path)
+    return load_torch_checkpoint(path)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load the reference's .tar checkpoint and return the JAX param pytree.
 

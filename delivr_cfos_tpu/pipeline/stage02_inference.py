@@ -1,0 +1,103 @@
+"""Stage 2 — UNet blob detection over the masked volume.
+
+TPU-native rebuild of ``run_inference`` (reference: inference/inference.py:113-332):
+the VRAM-sized torch DataParallel sliding window becomes the HBM-resident
+engine in engine/sliding_window.py. Output contract matches the reference:
+
+    {blob_output}/{mouse}/binary_segmentations/binaries.npy   uint8 (Z, Y, X)
+    {blob_output}/{mouse}/binary_segmentations/network_output.npy
+        float32 sigmoid outputs, only when FLAGS.SAVE_ACTIVATED_OUTPUT
+        (reference: inference.py:315-319, create_nifti_seg :41-44)
+
+Weights may be the reference torch .tar checkpoint or framework .npz.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from delivr_cfos_tpu.config import PipelineConfig
+from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_volume
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
+from delivr_cfos_tpu.models.convert import load_weights
+from delivr_cfos_tpu.ops.morphology import binarize_logits
+from delivr_cfos_tpu.utils.io.npy import open_memmap
+from delivr_cfos_tpu.utils.logging import log
+
+
+def run_inference(
+    cfg: PipelineConfig,
+    mouse_name: str,
+    stack_shape: tuple,
+    params=None,
+    model_cfg: BasicUNetConfig | None = None,
+) -> str:
+    """Returns the session path ({blob_output}/{mouse})."""
+    bd = cfg.blob_detection
+    input_path = os.path.join(
+        bd.input_location, mouse_name, "masked_niftis", "masked_nifti.npy"
+    )
+    session_path = os.path.join(bd.output_location, mouse_name)
+    binaries_path = os.path.join(session_path, "binary_segmentations")
+    os.makedirs(binaries_path, exist_ok=True)
+
+    if params is None:
+        log("Loading weights", bd.model_location)
+        params = load_weights(bd.model_location)
+    if model_cfg is None:
+        from delivr_cfos_tpu.models.basic_unet import infer_model_config
+
+        model_cfg = infer_model_config(params)
+
+    volume = np.load(input_path, mmap_mode="r")[0, 0]
+    real_z, real_y, real_x = stack_shape[2:]
+
+    sw_cfg = SlidingWindowConfig(
+        roi=bd.window_dimensions.zyx,
+        overlap=0.5,  # reference: inference.py:125
+        tta=cfg.FLAGS.TEST_TIME_AUGMENTATION,
+    )
+    log(
+        f"Inference for {mouse_name}: padded {volume.shape}, "
+        f"real ({real_z}, {real_y}, {real_x}), tta={sw_cfg.tta}"
+    )
+    mean_logits, _ = infer_volume(
+        params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
+    )
+
+    # binarization over the REAL (unpadded) extent, reference create_nifti_seg
+    logits_real = mean_logits[:real_z, :real_y, :real_x]
+    input_real = jnp.asarray(volume[:real_z, :real_y, :real_x])
+
+    if cfg.FLAGS.SAVE_ACTIVATED_OUTPUT:
+        os.makedirs(os.path.join(session_path, "network_outputs"), exist_ok=True)
+        activated = open_memmap(
+            os.path.join(binaries_path, "network_output.npy"),
+            shape=(real_z, real_y, real_x),
+            dtype=np.float32,
+        )
+        import jax.nn
+
+        activated[:] = np.asarray(jax.nn.sigmoid(logits_real), np.float32)
+        activated.flush()
+        del activated
+
+    binaries = binarize_logits(
+        logits_real,
+        input_real,
+        threshold=sw_cfg.threshold,
+        erosion_iters=sw_cfg.erosion_iters,
+    )
+    out = open_memmap(
+        os.path.join(binaries_path, "binaries.npy"),
+        shape=(real_z, real_y, real_x),
+        dtype=np.uint8,
+    )
+    out[:] = np.asarray(binaries)
+    out.flush()
+    del out
+    log("Blob detection finished", mouse_name)
+    return session_path
