@@ -1,0 +1,24 @@
+from delivr_cfos_tpu.registration.affine import register_affine
+from delivr_cfos_tpu.registration.bspline import (
+    BSplineField,
+    register_bspline,
+    warp_points,
+)
+from delivr_cfos_tpu.registration.swc import read_swc, write_swc
+from delivr_cfos_tpu.registration.warp import (
+    affine_warp_points,
+    sample_volume,
+    warp_volume_affine,
+)
+
+__all__ = [
+    "register_affine",
+    "register_bspline",
+    "warp_points",
+    "BSplineField",
+    "sample_volume",
+    "warp_volume_affine",
+    "affine_warp_points",
+    "read_swc",
+    "write_swc",
+]

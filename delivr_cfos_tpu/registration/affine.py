@@ -1,0 +1,114 @@
+"""Multi-resolution affine registration as JAX optimization.
+
+Replaces mBrainAligner's ``global_registration`` binary (reference:
+automate_mBrainaligner.py:29-56, invoked with ``-p r+f+n``). Instead of the
+reference's feature/RANSAC pipeline we directly optimize the 12 affine
+parameters with Adam against a masked NCC similarity on an image pyramid —
+a formulation that is one fused XLA computation per step (warp + NCC +
+gradients), running entirely on device.
+
+Convention: the affine maps **fixed** voxel coords → **moving** voxel coords
+(the resampling direction). For the pipeline, fixed = the downsampled masked
+brain and moving = the atlas template, so cell centroids (which live in brain
+space) map directly through the affine into atlas space — no numerical
+inversion is ever needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from delivr_cfos_tpu.ops.resample import block_mean_downsample
+from delivr_cfos_tpu.registration.warp import (
+    affine_apply,
+    fixed_grid,
+    inside_weight,
+    moments_init,
+    sample_volume,
+)
+
+
+def masked_ncc(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted normalized cross-correlation (higher = better)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    ma = jnp.sum(a * w) / wsum
+    mb = jnp.sum(b * w) / wsum
+    da = (a - ma) * w
+    db = (b - mb) * w
+    num = jnp.sum(da * db)
+    den = jnp.sqrt(jnp.sum(da * da) * jnp.sum(db * db)) + 1e-6
+    return num / den
+
+
+@partial(jax.jit, static_argnames=("n_steps",), donate_argnames=())
+def _optimize_level(fixed, moving, affine0, lr, n_steps):
+    grid = fixed_grid(fixed.shape)
+    fshape = fixed.shape
+
+    def loss_fn(affine):
+        coords = affine_apply(affine, grid)
+        warped = sample_volume(moving, coords)
+        w = inside_weight(coords, moving.shape)
+        return -masked_ncc(warped, fixed, w)
+
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        affine, opt_state = carry
+        loss, g = jax.value_and_grad(loss_fn)(affine)
+        updates, opt_state = opt.update(g, opt_state)
+        affine = optax.apply_updates(affine, updates)
+        return (affine, opt_state), loss
+
+    (affine, _), losses = jax.lax.scan(
+        step, (affine0, opt.init(affine0)), None, length=n_steps
+    )
+    return affine, losses
+
+
+def _pyramid(vol: np.ndarray, level: int) -> jnp.ndarray:
+    if level == 1:
+        return jnp.asarray(vol, jnp.float32)
+    f = (level, level, level)
+    return block_mean_downsample(jnp.asarray(vol), f)
+
+
+def register_affine(
+    fixed: np.ndarray,
+    moving: np.ndarray,
+    levels=(4, 2, 1),
+    iters=(300, 150, 80),
+    lrs=(0.02, 0.01, 0.004),
+    init: np.ndarray | None = None,
+    verbose: bool = False,
+):
+    """Returns ((3, 4) affine fixed→moving at full resolution, final NCC).
+
+    The affine parameters are optimized per pyramid level in that level's
+    voxel coordinates, then rescaled: if F_l = F/s, M_l = M/s then
+    A_l = S⁻¹ A S with S = diag(s) ⇒ linear part is scale-invariant and the
+    translation scales by s.
+    """
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+    if init is None:
+        init = moments_init(fixed, moving)
+    affine = jnp.asarray(init, jnp.float32)
+
+    final_ncc = None
+    for level, n_iter, lr in zip(levels, iters, lrs):
+        f_l = _pyramid(fixed, level)
+        m_l = _pyramid(moving, level)
+        # move translation into level coords
+        aff_l = affine.at[:, 3].set(affine[:, 3] / level)
+        aff_l, losses = _optimize_level(f_l, m_l, aff_l, lr, n_iter)
+        affine = aff_l.at[:, 3].set(aff_l[:, 3] * level)
+        final_ncc = -float(losses[-1])
+        if verbose:
+            print(f"[affine] level {level}: NCC {final_ncc:.4f}")
+    return np.asarray(affine), final_ncc
