@@ -99,6 +99,13 @@ class AtlasAlignmentConfig:
     collection_folder: str = ""
     parallel_processing: bool = True
     landmarks_hemisphere: bool = False
+    # framework extensions (absent from the reference schema; harmless there):
+    # 50 µm atlas average-template volume (tif/v3draw/npy, (z, y, x) =
+    # (228, 160, 264)) that the in-framework registration aligns against.
+    # Empty → geometric-normalization fallback (scale into the atlas box).
+    template_file: str = ""
+    use_ffd: bool = True
+    ffd_spacing: float = 16.0
 
 
 @dataclass(frozen=True)

@@ -228,9 +228,11 @@ def component_statistics(labels: np.ndarray, n: int) -> dict:
     ``voxel_counts[0]``/row 0 refer to background, like cc3d."""
     flat = labels.ravel()
     counts = np.bincount(flat[flat >= 0], minlength=n + 1).astype(np.int64)
+    Z, Y, X = labels.shape
     zz, yy, xx = np.nonzero(labels > 0)
     vals = labels[zz, yy, xx]
     centroids = np.full((n + 1, 3), np.nan, np.float64)
+    fg_sums = np.zeros(3)
     if vals.size:
         sz = np.bincount(vals, weights=zz, minlength=n + 1)
         sy = np.bincount(vals, weights=yy, minlength=n + 1)
@@ -240,6 +242,18 @@ def component_statistics(labels: np.ndarray, n: int) -> dict:
             centroids[:, 0] = sz / c
             centroids[:, 1] = sy / c
             centroids[:, 2] = sx / c
+        fg_sums = np.array([sz[1:].sum(), sy[1:].sum(), sx[1:].sum()])
+    if counts[0] > 0:
+        # background centroid (cc3d computes it; reference blob_depthmap.py:196
+        # iterates from cc_id 0): analytic grid sums minus foreground sums
+        grid_sums = np.array(
+            [
+                Y * X * Z * (Z - 1) / 2.0,
+                Z * X * Y * (Y - 1) / 2.0,
+                Z * Y * X * (X - 1) / 2.0,
+            ]
+        )
+        centroids[0] = (grid_sums - fg_sums) / counts[0]
     # bounding boxes: (zmin, zmax, ymin, ymax, xmin, xmax) inclusive
     bboxes = np.zeros((n + 1, 6), np.int64)
     if vals.size:
@@ -250,7 +264,15 @@ def component_statistics(labels: np.ndarray, n: int) -> dict:
             np.maximum.at(maxs, vals, coords)
             bboxes[:, 2 * axis] = np.where(counts > 0, mins, 0)
             bboxes[:, 2 * axis + 1] = np.where(counts > 0, maxs, 0)
-        bboxes[0] = 0
+    if counts[0] > 0:
+        # background bbox from per-axis any(labels == 0) projections
+        bg = labels == 0
+        for axis in range(3):
+            other = tuple(a for a in range(3) if a != axis)
+            has = np.any(bg, axis=other)
+            idx = np.nonzero(has)[0]
+            bboxes[0, 2 * axis] = idx[0]
+            bboxes[0, 2 * axis + 1] = idx[-1]
     return {
         "voxel_counts": counts,
         "centroids": centroids,

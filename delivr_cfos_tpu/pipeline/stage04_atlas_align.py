@@ -1,0 +1,201 @@
+"""Stage 4 — atlas registration + cell-coordinate warping.
+
+TPU-native rebuild of ``run_mbrainaligner_and_swc_reg``
+(reference: automate_mBrainaligner.py:437-506). The three mBrainAligner C++
+binaries are replaced by in-framework JAX registration
+(registration/affine.py + registration/bspline.py); the mp.Pool SWC chunking
+(reference :148-179,308-390) disappears because point warping is one
+vectorized gather over all cells.
+
+Pipeline per brain:
+1. fixed volume  = the 8-bit masked downsampled brain
+   ({mask_output}/{brain}/stack_masked_downsampled.v3draw, reference :453)
+2. moving volume = the 50 µm atlas average template
+   (config atlas_alignment.template_file) in (z, y, x) = (228, 160, 264);
+   without a template a geometric scale-into-atlas-box fallback is used so
+   the pipeline stays runnable (clearly logged — counts are then
+   unregistered).
+3. affine (+ optional B-spline FFD) optimization, fixed→moving.
+4. cells: stage-3 CSV ("[z, y, x]" Coords strings, reference :88-114) →
+   full-res coords ÷ per-axis downsampling factors (original dims parsed
+   from the "(Z, Y, X)" CSV filename / stack_resampled.tif shape, reference
+   :261-284) → through the transform → mBrainAligner 50 µm atlas space.
+
+Output contract (reference :237-258): SWC stages written to
+{atlas_output}/{mouse}/, and ``{mouse}_local_registered_with_original_size.csv``
+(space-separated, columns n type x y z Size) written to both the output dir
+and the collection folder. The registration transform itself is saved as
+``transform.npz`` (a capability the reference lacks — its C++ tools hide it).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+from delivr_cfos_tpu.config import PipelineConfig
+from delivr_cfos_tpu.registration.affine import register_affine
+from delivr_cfos_tpu.registration.bspline import (
+    BSplineField,
+    register_bspline,
+    warp_points,
+)
+from delivr_cfos_tpu.registration.swc import swc_frame_from_cells, write_swc
+from delivr_cfos_tpu.utils.io.tiff import read_tiff
+from delivr_cfos_tpu.utils.io.v3draw import read_v3draw
+from delivr_cfos_tpu.utils.logging import log
+
+ATLAS_SHAPE_ZYX = (228, 160, 264)  # mBrainAligner 50 µm target (-c, -b, -a)
+
+
+def parse_shape_from_name(path: str) -> tuple:
+    """Extract the "(Z, Y, X)" tuple embedded in the stage-3 CSV filename
+    (reference: automate_mBrainaligner.py:199-213)."""
+    name = os.path.basename(path)
+    inside = re.findall(r"\(([^)]+)", name)[0]
+    return tuple(int(v) for v in inside.replace(" ", "").split(","))
+
+
+def parse_blob_csv(csv_path: str) -> pd.DataFrame:
+    """Stage-3 CSV → DataFrame with float z, y, x (rounded to 3 digits) and
+    Size, index = cell number (reference rewrite_swc string munging,
+    automate_mBrainaligner.py:75-127)."""
+    df = pd.read_csv(csv_path)
+    coords = (
+        df["Coords"]
+        .str.replace(r"\s{2,}", " ", regex=True)
+        .str.replace("[", "", regex=False)
+        .str.replace("]", "", regex=False)
+        .str.strip()
+        .str.split(r"[,\s]+", expand=True)
+    )
+    out = pd.DataFrame(
+        {
+            "z": coords[0].astype(float).round(3),
+            "y": coords[1].astype(float).round(3),
+            "x": coords[2].astype(float).round(3),
+            "Size": df["Size"].values,
+        }
+    )
+    return out
+
+
+def _load_template(path: str):
+    if not path or not os.path.exists(path):
+        return None
+    if path.endswith(".v3draw"):
+        return read_v3draw(path).astype(np.float32)
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    return read_tiff(path).astype(np.float32)
+
+
+def _fallback_affine(fixed_shape) -> np.ndarray:
+    """Scale the brain volume into the atlas box (unregistered fallback)."""
+    scale = [ATLAS_SHAPE_ZYX[i] / fixed_shape[i] for i in range(3)]
+    aff = np.zeros((3, 4), np.float32)
+    aff[0, 0], aff[1, 1], aff[2, 2] = scale
+    return aff
+
+
+def run_registration_and_point_warp(cfg: PipelineConfig, entry_csv: str) -> str:
+    aa = cfg.atlas_alignment
+    entry_folder = os.path.basename(entry_csv).replace(".csv", "")
+    brain = "_".join(entry_folder.split("_")[1:])
+    mouse_name = brain
+
+    mask_out = os.path.join(cfg.mask_detection.output_location, brain)
+    v3draw_path = os.path.join(mask_out, "stack_masked_downsampled.v3draw")
+    tiff_path = os.path.join(mask_out, "stack_resampled.tif")
+
+    output_dir = os.path.join(aa.output_location, mouse_name)
+    os.makedirs(output_dir, exist_ok=True)
+    os.makedirs(aa.collection_folder, exist_ok=True)
+
+    fixed = read_v3draw(v3draw_path).astype(np.float32)
+
+    # ---- registration -----------------------------------------------------
+    template = _load_template(aa.template_file)
+    field = None
+    if template is not None:
+        log("Registering", brain, "to atlas template", aa.template_file)
+        affine, ncc = register_affine(fixed, template)
+        log(f"Affine NCC {ncc:.4f}")
+        if aa.use_ffd:
+            field, _ = register_bspline(
+                fixed, template, affine, spacing=aa.ffd_spacing
+            )
+    else:
+        log(
+            "WARNING: no atlas template configured "
+            "(atlas_alignment.template_file) — using geometric scale fallback; "
+            "region counts will be unregistered."
+        )
+        affine = _fallback_affine(fixed.shape)
+
+    np.savez(
+        os.path.join(output_dir, "transform.npz"),
+        affine=affine,
+        ffd_ctrl=(field.ctrl if field is not None else np.zeros((0,))),
+        ffd_spacing=(field.spacing if field is not None else 0.0),
+        fixed_shape=np.asarray(fixed.shape),
+    )
+
+    # ---- cell-point warping ----------------------------------------------
+    cells = parse_blob_csv(entry_csv)
+    orig_z, orig_y, orig_x = parse_shape_from_name(entry_csv)
+    ds_shape = None
+    # downsample factors from the unpadded resampled stack, reference :261-284
+    from delivr_cfos_tpu.utils.io.tiff import tiff_page_infos
+
+    infos = tiff_page_infos(tiff_path)
+    ds_shape = (len(infos), infos[0].shape[0], infos[0].shape[1])
+    ds_f = (orig_z / ds_shape[0], orig_y / ds_shape[1], orig_x / ds_shape[2])
+
+    # resampled SWC (downsampled brain space)
+    rs = cells.copy()
+    rs["z"] = cells["z"] / ds_f[0]
+    rs["y"] = cells["y"] / ds_f[1]
+    rs["x"] = cells["x"] / ds_f[2]
+    write_swc(
+        os.path.join(output_dir, f"{mouse_name}_resampled.swc"),
+        swc_frame_from_cells(rs["x"], rs["y"], rs["z"], rs["Size"]),
+    )
+
+    pts_zyx = rs[["z", "y", "x"]].to_numpy(np.float32)
+    atlas_zyx = warp_points(affine, field, pts_zyx)
+    # global (affine-only) SWC for parity with the reference's stage outputs
+    glob_zyx = warp_points(affine, None, pts_zyx)
+    write_swc(
+        os.path.join(output_dir, f"{mouse_name}_global_data.swc"),
+        swc_frame_from_cells(
+            glob_zyx[:, 2], glob_zyx[:, 1], glob_zyx[:, 0], rs["Size"]
+        ),
+    )
+    local_swc = os.path.join(output_dir, f"{mouse_name}_local_registered_data.swc")
+    write_swc(
+        local_swc,
+        swc_frame_from_cells(
+            atlas_zyx[:, 2], atlas_zyx[:, 1], atlas_zyx[:, 0], rs["Size"]
+        ),
+    )
+
+    # ---- final collection CSV (reference reattach_size_and_copy :237-258) --
+    merged = pd.DataFrame(
+        {
+            "n": np.arange(len(cells)),
+            "type": 1,
+            "x": np.round(atlas_zyx[:, 2].astype(np.float64), 3),
+            "y": np.round(atlas_zyx[:, 1].astype(np.float64), 3),
+            "z": np.round(atlas_zyx[:, 0].astype(np.float64), 3),
+            "Size": cells["Size"].values,
+        }
+    )
+    out_name = f"{mouse_name}_local_registered_with_original_size.csv"
+    merged.to_csv(os.path.join(output_dir, out_name), sep=" ", index=False)
+    merged.to_csv(os.path.join(aa.collection_folder, out_name), sep=" ", index=False)
+    log("Atlas registration finished", mouse_name)
+    return mouse_name

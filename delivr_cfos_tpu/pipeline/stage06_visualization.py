@@ -1,0 +1,211 @@
+"""Stage 6 — visualization: region-colored RGB stacks, region-id grayvalue
+stacks, and no-atlas depth maps.
+
+Rebuild of ``blob_highlighter`` (reference: blob_highlighter.py:38-172) and
+``depth_map_blobs`` (reference: blob_depthmap.py:115-222).
+
+Output contract matches the reference:
+
+    {viz_output}/{brain}_rgb_tiffs/{brain}rgb_C00_z0000.tif  (+C01/C02 per z)
+    {viz_output}/{brain}/{brain}_region_id_tiffs/region_id_0000.tif
+    {viz_output}/{brain}/{brain}_depthmap_tiffs/depthmap_0000.tif
+
+Design change from the reference: coloring is done with a per-label lookup
+table applied to the cached label volume (one vectorized gather per z-plane)
+instead of per-cell bounding-box repainting — O(voxels) instead of
+O(cells × bbox), and it cannot repaint neighboring blobs in overlapping
+bounding boxes (a known artifact the reference warns about,
+blob_highlighter.py:115-117).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+
+import numpy as np
+import pandas as pd
+from scipy.ndimage import distance_transform_edt
+
+from delivr_cfos_tpu.config import PipelineConfig
+from delivr_cfos_tpu.native.cc import cc_label_native, cc_statistics_native
+from delivr_cfos_tpu.ops.connected_components import (
+    component_statistics,
+    label_volume_host,
+)
+from delivr_cfos_tpu.utils.io.npy import memmap_raw
+from delivr_cfos_tpu.utils.io.tiff import read_tiff, write_tiff
+from delivr_cfos_tpu.utils.logging import log
+
+
+def _load_labels_and_stats(cfg: PipelineConfig, brain: str, bin_img: np.ndarray):
+    """Reuse the stage-3 label/stats caches when present
+    (reference: blob_highlighter.py:25-36,81-94)."""
+    post_out = cfg.postprocessing.output_location
+    labels = None
+    n = None
+    stats = None
+    if os.path.isdir(post_out):
+        for item in os.listdir(post_out):
+            if brain in item and item.endswith("-cc3d.npy"):
+                try:
+                    n = int(item.rsplit("-", 2)[-2])
+                except ValueError:
+                    continue
+                labels = np.load(os.path.join(post_out, item), mmap_mode="r")
+            if brain in item and item.endswith(".pickle"):
+                with open(os.path.join(post_out, item), "rb") as f:
+                    stats = pickle.load(f)
+    if labels is None:
+        native = cc_label_native(np.asarray(bin_img))
+        labels, n = native if native is not None else label_volume_host(
+            np.asarray(bin_img)
+        )
+    if stats is None:
+        stats = cc_statistics_native(np.asarray(labels), n) or component_statistics(
+            np.asarray(labels), n
+        )
+    return labels, n, stats
+
+
+def _apply_lut_per_plane(labels, lut: np.ndarray, out_dir: str, name_fn) -> None:
+    for z in range(labels.shape[0]):
+        plane = lut[np.asarray(labels[z])]
+        if plane.ndim == 3:  # RGB: three channel files
+            write_tiff(name_fn(z, 0), plane[..., 0], compress=True)
+            write_tiff(name_fn(z, 1), plane[..., 1], compress=True)
+            write_tiff(name_fn(z, 2), plane[..., 2], compress=True)
+        else:
+            write_tiff(name_fn(z, None), plane, compress=True)
+
+
+def blob_highlighter(cfg: PipelineConfig, brain: str, stack_shape: tuple) -> None:
+    viz = cfg.visualization
+    path_out_rgb = os.path.join(viz.output_location, brain + "_rgb_tiffs")
+    path_cache = os.path.join(viz.cache_location, brain)
+    os.makedirs(path_out_rgb, exist_ok=True)
+    os.makedirs(path_cache, exist_ok=True)
+
+    pred_dirs = [d for d in os.listdir(viz.input_prediction_location) if brain in d]
+    bin_path = os.path.join(
+        viz.input_prediction_location, pred_dirs[0], "binary_segmentations", "binaries.npy"
+    )
+    bin_img = memmap_raw(bin_path, shape=stack_shape[2:], dtype=np.uint8)
+
+    labels, n, stats = _load_labels_and_stats(cfg, brain, bin_img)
+
+    if not viz.no_atlas_depthmap:
+        csv_candidates = [
+            f
+            for f in os.listdir(viz.input_csv_location)
+            if f"cells_{brain}" in f and f.endswith(".csv")
+        ]
+        cell_csv = pd.read_csv(
+            os.path.join(viz.input_csv_location, csv_candidates[0]), index_col=0
+        )
+        cell_csv = cell_csv.loc[cell_csv["acronym"] != "bgr"]
+
+        if viz.region_id_rgb:
+            log("Coloring blobs (RGB)", brain)
+            lut = np.zeros((n + 1, 3), np.uint8)
+            ids = cell_csv["connected_component_id"].to_numpy(int)
+            ok = (ids >= 0) & (ids <= n)
+            lut[ids[ok], 0] = cell_csv["red"].to_numpy(np.uint8)[ok]
+            lut[ids[ok], 1] = cell_csv["green"].to_numpy(np.uint8)[ok]
+            lut[ids[ok], 2] = cell_csv["blue"].to_numpy(np.uint8)[ok]
+            _apply_lut_per_plane(
+                labels,
+                lut,
+                path_out_rgb,
+                lambda z, c: os.path.join(
+                    path_out_rgb, f"{brain}rgb_C{c:02d}_z{str(z).zfill(4)}.tif"
+                ),
+            )
+
+        if viz.region_id_grayvalues:
+            log("Generating region_id gray-value tiffs", brain)
+            path_out_rid = os.path.join(
+                viz.output_location, brain, brain + "_region_id_tiffs"
+            )
+            os.makedirs(path_out_rid, exist_ok=True)
+            lut16 = np.zeros((n + 1,), np.uint16)
+            ids = cell_csv["connected_component_id"].to_numpy(int)
+            ok = (ids >= 0) & (ids <= n)
+            lut16[ids[ok]] = cell_csv["graph_order"].to_numpy(np.uint16)[ok]
+            _apply_lut_per_plane(
+                labels,
+                lut16,
+                path_out_rid,
+                lambda z, _c: os.path.join(
+                    path_out_rid, f"region_id_{str(z).zfill(4)}.tif"
+                ),
+            )
+
+    if viz.no_atlas_depthmap:
+        depth_map_blobs(cfg, brain, stack_shape, labels, n, stats)
+
+    shutil.rmtree(path_cache, ignore_errors=True)
+
+
+def depth_map_blobs(
+    cfg: PipelineConfig,
+    brain: str,
+    stack_shape: tuple,
+    labels=None,
+    n: int | None = None,
+    stats: dict | None = None,
+) -> None:
+    """Color blobs by their centroid's distance from the sample surface
+    (reference: blob_depthmap.py:115-222)."""
+    viz = cfg.visualization
+    path_out_dm = os.path.join(viz.output_location, brain, brain + "_depthmap_tiffs")
+    os.makedirs(path_out_dm, exist_ok=True)
+
+    pred_dirs = [d for d in os.listdir(viz.input_prediction_location) if brain in d]
+    bin_path = os.path.join(
+        viz.input_prediction_location, pred_dirs[0], "binary_segmentations", "binaries.npy"
+    )
+    bin_img = memmap_raw(bin_path, shape=stack_shape[2:], dtype=np.uint8)
+    if labels is None:
+        labels, n, stats = _load_labels_and_stats(cfg, brain, bin_img)
+
+    ds = cfg.mask_detection.downsample_steps
+    masked_stack = read_tiff(
+        os.path.join(
+            cfg.mask_detection.output_location, brain, "downsampled_masked_stack.tif"
+        )
+    )
+    # anisotropy-aware EDT with a 1-voxel zero pad (blob_depthmap.py:173-183)
+    padded = np.pad(masked_stack, 1)
+    distances = distance_transform_edt(
+        padded,
+        sampling=(ds.downsample_um_z, ds.downsample_um_y, ds.downsample_um_x),
+    )[1:-1, 1:-1, 1:-1].astype(np.uint16)
+
+    # rescale centroids into downsampled space via µm ratios (:186-191)
+    coords = stats["centroids"].copy()
+    coords[:, 0] /= ds.downsample_um_z / ds.original_um_z
+    coords[:, 1] /= ds.downsample_um_y / ds.original_um_y
+    coords[:, 2] /= ds.downsample_um_x / ds.original_um_x
+    coords = np.nan_to_num(coords).astype(int)
+    coords[:, 0] = np.clip(coords[:, 0], 0, distances.shape[0] - 1)
+    coords[:, 1] = np.clip(coords[:, 1], 0, distances.shape[1] - 1)
+    coords[:, 2] = np.clip(coords[:, 2], 0, distances.shape[2] - 1)
+
+    # per-label depth LUT; range(N) quirk: labels 0..N−1 colored, blob N not
+    # (blob_depthmap.py:196); label 0 (background) never appears in `labels`
+    lut = np.zeros((n + 1,), np.uint16)
+    upto = min(n, len(coords) - 1)
+    depth_vals = distances[coords[: upto + 1, 0], coords[: upto + 1, 1], coords[: upto + 1, 2]]
+    lut[: upto + 1] = depth_vals
+    if n >= 1:
+        lut[n] = 0  # reference's range(N) excludes the last blob
+    for z in range(labels.shape[0]):
+        plane = lut[np.asarray(labels[z])]
+        write_tiff(
+            os.path.join(path_out_dm, f"depthmap_{str(z).zfill(4)}.tif"),
+            plane,
+            compress=True,
+        )
+    log("Depth map written", brain)
