@@ -1,0 +1,131 @@
+"""Benchmark: sliding-window UNet inference throughput (GVoxel/s per chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "GVoxel/s", "vs_baseline": N}
+
+Measures the end-to-end single-pass sliding-window throughput of the
+full-size BasicUNet (features (32,32,64,128,256,32), window 96×96×64,
+overlap 0.5 — the reference's production configuration, config.json:24-28,
+inference.py:125,190-197) over a synthetic brain-like volume resident in
+device memory, in OUTPUT voxels per second (each output voxel costs ~8
+window-voxel computations at 0.5 overlap; the background-skip scheduler
+removes the empty half of the volume, as in the reference).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The denominator used here is a documented estimate of the reference's
+per-GPU single-pass effective throughput, 0.012 GVox/s, derived as follows:
+the reference's own VRAM calibration (~810 MB per 96×96×64 window,
+inference.py:177-186) puts ~11 windows in flight on a 2080Ti-class 11 GB
+GPU; MONAI-style sliding-window pipelines with host-side accumulation and
+per-batch H2D/D2H round-trips (SURVEY.md §3.3) are observed at ~20-25
+windows/s on that class of hardware ⇒ ~22 win/s × 0.59 MVox/window ÷ 8×
+coverage ÷ ~0.65 host-overhead factor ≈ 0.012 GVox/s of unique output.
+
+The measurement runs in a watchdog subprocess (the TPU tunnel in this image
+can wedge on device transfers); on timeout it falls back to the CPU backend
+and says so in the metric name.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD_CODE = r"""
+import json, sys, time
+import numpy as np
+
+platform = sys.argv[1]
+import jax
+if platform != "default":
+    jax.config.update("jax_platforms", platform)
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_volume
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, init_params
+
+backend = jax.default_backend()
+# brain-like synthetic volume: bright foreground half, empty half
+Z, Y, X = (192, 480, 384) if backend == "tpu" else (96, 192, 128)
+rng = np.random.default_rng(0)
+vol = np.zeros((Z, Y, X), np.uint16)
+vol[:, : Y // 2] = (rng.random((Z, Y // 2, X)) * 900 + 100).astype(np.uint16)
+
+cfg = SlidingWindowConfig(
+    roi=(96, 96, 64), overlap=0.5, batch_size=8 if backend == "tpu" else 2,
+    tta=False,
+)
+model_cfg = BasicUNetConfig()
+params = init_params(jax.random.PRNGKey(0), model_cfg)
+
+# warmup (compile)
+infer_volume(params, vol, cfg, model_cfg, return_binary=False)[0].block_until_ready()
+t0 = time.perf_counter()
+n_rep = 3 if backend == "tpu" else 1
+for _ in range(n_rep):
+    out, _ = infer_volume(params, vol, cfg, model_cfg, return_binary=False)
+    out.block_until_ready()
+dt = (time.perf_counter() - t0) / n_rep
+gvox = vol.size / dt / 1e9
+print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt}))
+"""
+
+
+def _run_child(platform: str, timeout: int):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE, platform],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    except subprocess.TimeoutExpired:
+        return None
+    return None
+
+
+def main():
+    # documented estimate of the reference's per-GPU effective single-pass
+    # throughput (see module docstring)
+    reference_estimate_gvox_s = 0.012
+
+    result = _run_child("default", timeout=1500)
+    if result is None:
+        result = _run_child("cpu", timeout=1500)
+    if result is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "unet_sliding_window_throughput (bench failed)",
+                    "value": 0.0,
+                    "unit": "GVoxel/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+    metric = "unet_sliding_window_throughput_per_chip"
+    if result["backend"] != "tpu":
+        metric += f" ({result['backend']} fallback)"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(result["gvox_per_s"], 4),
+                "unit": "GVoxel/s",
+                "vs_baseline": round(
+                    result["gvox_per_s"] / reference_estimate_gvox_s, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,71 @@ def _safe_sheet_name(name: str, used: set) -> str:
     return name
 
 
+def read_xlsx(path: str, sheet: int | str = 0):
+    """Minimal xlsx reader → pandas DataFrame (first row = header, first
+    column = index, mirroring ``DataFrame.to_excel`` round-trip). Handles
+    inline strings (our writer) and sharedStrings (other writers)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter() if t.tag.endswith("}t")))
+        # resolve sheet index/name via workbook order
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheet_names = [s.get("name") for s in wb.iter() if s.tag.endswith("}sheet")]
+        if isinstance(sheet, str):
+            idx = sheet_names.index(sheet)
+        else:
+            idx = sheet
+        root = ET.fromstring(z.read(f"xl/worksheets/sheet{idx + 1}.xml"))
+        rows = []
+        for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
+            cells = {}
+            for c in row:
+                ref = c.get("r")
+                col = _re.match(r"([A-Z]+)", ref).group(1)
+                col_idx = 0
+                for ch in col:
+                    col_idx = col_idx * 26 + (ord(ch) - ord("A") + 1)
+                col_idx -= 1
+                t = c.get("t")
+                if t == "inlineStr":
+                    txt = "".join(
+                        el.text or "" for el in c.iter() if el.tag.endswith("}t")
+                    )
+                    cells[col_idx] = txt
+                else:
+                    v = c.find("m:v", ns)
+                    if v is None:
+                        continue
+                    if t == "s":
+                        cells[col_idx] = shared[int(v.text)]
+                    elif t == "b":
+                        cells[col_idx] = bool(int(v.text))
+                    else:
+                        val = float(v.text)
+                        cells[col_idx] = int(val) if val.is_integer() else val
+            rows.append(cells)
+    if not rows:
+        return pd.DataFrame()
+    n_cols = max(max(r.keys(), default=-1) for r in rows) + 1
+    grid = [[r.get(i) for i in range(n_cols)] for r in rows]
+    header = grid[0]
+    df = pd.DataFrame(grid[1:], columns=header)
+    first = header[0]
+    if first is None:
+        df = df.set_index(df.columns[0])
+        df.index.name = None
+    return df
+
+
 def write_xlsx(path: str, sheets: dict) -> None:
     """Write ``{sheet_name: rows-or-DataFrame}`` to ``path``.
 

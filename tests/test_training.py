@@ -1,0 +1,67 @@
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, basic_unet_apply
+from delivr_cfos_tpu.parallel.mesh import make_mesh
+from delivr_cfos_tpu.training import TrainConfig, dice_bce_loss, make_train_step
+from delivr_cfos_tpu.training.data import batch_iterator, list_patch_pairs
+
+TINY = BasicUNetConfig(features=(4, 4, 8, 16, 32, 4))
+REF_ROOT = "/root/reference/training_data/cFos"
+
+
+def _toy_batches(seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        x = rng.random((2, 16, 16, 16, 1)).astype(np.float32) * 100
+        y = (x > 80).astype(np.float32)
+        yield x, y
+
+
+def test_train_step_reduces_loss():
+    cfg = TrainConfig(model=TINY, learning_rate=3e-3)
+    init_state, step = make_train_step(cfg)
+    params, opt_state = init_state()
+    it = _toy_batches()
+    x, y = next(it)
+    losses = []
+    for i in range(12):
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_sharded_matches_unsharded_loss():
+    cfg = TrainConfig(model=TINY, learning_rate=1e-3)
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    init_state, sharded_step = make_train_step(cfg, mesh)
+    _, plain_step = make_train_step(cfg)
+    params, opt_state = init_state()
+    params2 = jax.tree_util.tree_map(jnp.copy, params)
+    opt_state2 = jax.tree_util.tree_map(jnp.copy, opt_state)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 64, 16, 16, 1)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 64, 16, 16, 1)) > 0.9), jnp.float32)
+    _, _, loss_sharded = sharded_step(params, opt_state, x, y)
+    _, _, loss_plain = plain_step(params2, opt_state2, x, y)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_plain), rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference training patches unavailable"
+)
+def test_reference_patch_loader():
+    pairs = list_patch_pairs(REF_ROOT)
+    assert len(pairs) > 30
+    it = batch_iterator(pairs[:2], batch_size=2, crop=(32, 32, 32), seed=0)
+    x, y = next(it)
+    assert x.shape == (2, 32, 32, 32, 1)
+    assert y.shape == x.shape
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    assert x.max() > 0
