@@ -108,39 +108,8 @@ def _gather_windows(volume, starts, roi):
     return jax.vmap(one)(starts)
 
 
-@partial(jax.jit, static_argnames=("roi", "flip_axis", "use_noise", "model_cfg"), donate_argnames=("acc", "cnt"))
-def _infer_accumulate_step(
-    params,
-    volume,
-    acc,
-    cnt,
-    starts,
-    valid,
-    key,
-    noise_std,
-    *,
-    roi,
-    flip_axis,
-    use_noise,
-    model_cfg,
-):
-    """Gather a window batch, run the UNet, overlap-add into acc/cnt.
-
-    ``valid`` masks out batch-padding lanes. ``flip_axis`` is a window-space
-    spatial axis (0=z, 1=y) or None. Buffers ``acc``/``cnt`` are donated —
-    the update is in-place in HBM.
-    """
-    windows = _gather_windows(volume, starts, roi).astype(jnp.float32)
-    if use_noise:
-        noise = jax.random.normal(key, windows.shape, jnp.float32) * noise_std
-        windows = windows + noise
-    x = windows[..., None]  # (B, z, y, x, 1)
-    if flip_axis is not None:
-        x = jnp.flip(x, axis=flip_axis + 1)
-    logits = basic_unet_apply(params, x, model_cfg)
-    if flip_axis is not None:
-        logits = jnp.flip(logits, axis=flip_axis + 1)
-    contrib = logits[..., 0].astype(jnp.float32)  # (B, z, y, x)
+def _accumulate_windows(acc, cnt, starts, contrib, valid, roi):
+    """Overlap-add one batch of window contributions into acc/cnt."""
     w = valid.astype(jnp.float32)
 
     def body(i, carry):
@@ -152,34 +121,79 @@ def _infer_accumulate_step(
             a, patch_a + contrib[i] * w[i], (s[0], s[1], s[2])
         )
         c = jax.lax.dynamic_update_slice(
-            c, patch_c + valid[i].astype(cnt.dtype), (s[0], s[1], s[2])
-        )
-        return a, c
-
-    acc, cnt = jax.lax.fori_loop(0, starts.shape[0], body, (acc, cnt))
-    return acc, cnt
-
-
-@partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
-def _skip_accumulate_step(acc, cnt, starts, valid, *, roi):
-    """Fold background windows in: constant −1000 logits, count += 1
-    (reference: sliding_window_inferer.py:197-202)."""
-
-    def body(i, carry):
-        a, c = carry
-        s = starts[i]
-        patch_a = jax.lax.dynamic_slice(a, (s[0], s[1], s[2]), roi)
-        patch_c = jax.lax.dynamic_slice(c, (s[0], s[1], s[2]), roi)
-        w = valid[i].astype(jnp.float32)
-        a = jax.lax.dynamic_update_slice(
-            a, patch_a + SKIP_LOGIT * w, (s[0], s[1], s[2])
-        )
-        c = jax.lax.dynamic_update_slice(
-            c, patch_c + valid[i].astype(cnt.dtype), (s[0], s[1], s[2])
+            c, patch_c + valid[i].astype(c.dtype), (s[0], s[1], s[2])
         )
         return a, c
 
     return jax.lax.fori_loop(0, starts.shape[0], body, (acc, cnt))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("roi", "flip_axis", "use_noise", "model_cfg"),
+    donate_argnames=("acc", "cnt"),
+)
+def _infer_accumulate_pass(
+    params,
+    volume,
+    acc,
+    cnt,
+    starts_nb,  # (NB, B, 3)
+    valid_nb,  # (NB, B)
+    key,
+    noise_std,
+    *,
+    roi,
+    flip_axis,
+    use_noise,
+    model_cfg,
+):
+    """One full pass over all active windows as a single device dispatch:
+    ``lax.scan`` over window batches (gather → UNet → overlap-add). One
+    dispatch per pass keeps host↔device latency off the critical path —
+    essential when the device sits behind a high-latency transport.
+
+    ``valid_nb`` masks batch-padding lanes. ``flip_axis`` is a window-space
+    spatial axis (0=z, 1=y) or None. ``acc``/``cnt`` are donated: in-place
+    HBM update.
+    """
+
+    def scan_body(carry, inp):
+        acc, cnt, key = carry
+        starts, valid = inp
+        key, sub = jax.random.split(key)
+        windows = _gather_windows(volume, starts, roi).astype(jnp.float32)
+        if use_noise:
+            noise = jax.random.normal(sub, windows.shape, jnp.float32) * noise_std
+            windows = windows + noise
+        x = windows[..., None]  # (B, z, y, x, 1)
+        if flip_axis is not None:
+            x = jnp.flip(x, axis=flip_axis + 1)
+        logits = basic_unet_apply(params, x, model_cfg)
+        if flip_axis is not None:
+            logits = jnp.flip(logits, axis=flip_axis + 1)
+        contrib = logits[..., 0].astype(jnp.float32)  # (B, z, y, x)
+        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
+        return (acc, cnt, key), None
+
+    (acc, cnt, _), _ = jax.lax.scan(scan_body, (acc, cnt, key), (starts_nb, valid_nb))
+    return acc, cnt
+
+
+@partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
+def _skip_accumulate_pass(acc, cnt, starts_nb, valid_nb, *, roi):
+    """Fold all background windows in (constant −1000 logits, count += 1,
+    reference: sliding_window_inferer.py:197-202) — one device dispatch."""
+
+    def scan_body(carry, inp):
+        acc, cnt = carry
+        starts, valid = inp
+        contrib = jnp.full((starts.shape[0], *roi), SKIP_LOGIT, jnp.float32)
+        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(scan_body, (acc, cnt), (starts_nb, valid_nb))
+    return acc, cnt
 
 
 @partial(jax.jit, static_argnames=("roi", "batch",))
@@ -217,6 +231,43 @@ def _pad_to_batches(arr: np.ndarray, batch: int):
         arr = np.concatenate([arr, np.repeat(arr[-1:], n_pad, axis=0)], axis=0)
         valid[n:] = 0
     return arr, valid
+
+
+def _bucket_nb(nb: int) -> int:
+    """Round a batch count up to a geometric bucket (1, 2, 3, 4, 6, 8, 12,
+    16, 24, 32, ...) so scan lengths — and therefore compilations — are
+    bounded to O(log N) distinct values across slabs/volumes, at ≤ 33%
+    padded-work overhead."""
+    if nb <= 4:
+        return nb
+    lo = 4
+    while True:
+        hi = lo * 3 // 2
+        if nb <= hi:
+            return hi
+        lo *= 2
+        if nb <= lo:
+            return lo
+
+
+def _to_batched(starts: np.ndarray, batch: int, valid_weight: int = 1):
+    """(N, 3) starts → ((NB, B, 3), (NB, B)) device arrays for the scan
+    passes, with NB rounded up to a bucket (padded batches are fully
+    masked)."""
+    padded, valid = _pad_to_batches(starts, batch)
+    nb = padded.shape[0] // batch
+    nb_b = _bucket_nb(nb)
+    if nb_b > nb:
+        extra = (nb_b - nb) * batch
+        padded = np.concatenate(
+            [padded, np.repeat(padded[-1:], extra, axis=0)], axis=0
+        )
+        valid = np.concatenate([valid, np.zeros(extra, np.int32)])
+        nb = nb_b
+    return (
+        jnp.asarray(padded.reshape(nb, batch, 3)),
+        jnp.asarray((valid * valid_weight).reshape(nb, batch).astype(np.int32)),
+    )
 
 
 def _tta_passes(cfg: SlidingWindowConfig):
@@ -275,44 +326,31 @@ def infer_volume(
     passes = _tta_passes(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
-    # --- background windows: constant accumulate, once per pass ----------
+    # --- background windows: constant accumulate, weighted by pass count ---
     if skipped.shape[0]:
-        sk, sk_valid = _pad_to_batches(skipped, cfg.batch_size)
-        sk = jnp.asarray(sk)
-        sk_valid_all = jnp.asarray(sk_valid * len(passes), dtype=jnp.int32)
-        # one fused loop: weight each window by the number of passes
-        for b in range(0, sk.shape[0], cfg.batch_size):
-            acc, cnt = _skip_accumulate_step(
-                acc,
-                cnt,
-                sk[b : b + cfg.batch_size],
-                sk_valid_all[b : b + cfg.batch_size],
-                roi=roi,
-            )
+        sk_nb, sk_valid_nb = _to_batched(skipped, cfg.batch_size, len(passes))
+        acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
 
-    # --- active windows: model passes -------------------------------------
+    # --- active windows: one device dispatch per TTA pass ------------------
     if active.shape[0]:
-        act, act_valid = _pad_to_batches(active, cfg.batch_size)
-        act_dev = jnp.asarray(act)
-        valid_dev = jnp.asarray(act_valid)
+        act_nb, valid_nb = _to_batched(active, cfg.batch_size)
         noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
         for use_noise, flip_axis in passes:
-            for b in range(0, act.shape[0] + (-act.shape[0]) % cfg.batch_size, cfg.batch_size):
-                key, sub = jax.random.split(key)
-                acc, cnt = _infer_accumulate_step(
-                    params,
-                    vol_dev,
-                    acc,
-                    cnt,
-                    act_dev[b : b + cfg.batch_size],
-                    valid_dev[b : b + cfg.batch_size],
-                    sub,
-                    noise_std,
-                    roi=roi,
-                    flip_axis=flip_axis,
-                    use_noise=use_noise,
-                    model_cfg=model_cfg,
-                )
+            key, sub = jax.random.split(key)
+            acc, cnt = _infer_accumulate_pass(
+                params,
+                vol_dev,
+                acc,
+                cnt,
+                act_nb,
+                valid_nb,
+                sub,
+                noise_std,
+                roi=roi,
+                flip_axis=flip_axis,
+                use_noise=use_noise,
+                model_cfg=model_cfg,
+            )
 
     mean_logits = _divide(acc, cnt)
     # crop back the reflect padding

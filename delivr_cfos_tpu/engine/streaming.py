@@ -1,0 +1,220 @@
+"""Out-of-core streaming inference: host→HBM z-slab pipeline.
+
+The reference keeps terabyte volumes on disk and accumulates into memmapped
+float16 buffers with per-batch host↔device round trips
+(reference: inference/inference.py:229-265, SURVEY.md §5.7). This engine
+replaces that with slab streaming: a contiguous run of window-grid z-rows is
+uploaded to HBM, all (TTA) passes accumulate on device, the overlap tail
+that the next slab will also touch is carried forward **on device**, and
+only finalized mean-logit/binary chunks return to the host. Peak device
+memory is one slab (input + f32 accumulator + count), independent of volume
+size.
+
+Binarization erodes per finalized chunk with ``border_value=1`` — the same
+block-local semantics as the reference's per-Arrayterator-block erosion
+(inference/inference.py:53,75-84), where block cuts never erode inward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.engine.sliding_window import (
+    SlidingWindowConfig,
+    _infer_accumulate_pass,
+    _pad_to_batches,
+    _skip_accumulate_pass,
+    _to_batched,
+    _tta_passes,
+    _window_maxes,
+    dense_patch_starts,
+    scan_interval,
+    _dim_starts,
+)
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
+from delivr_cfos_tpu.ops.morphology import binarize_logits
+
+
+def infer_volume_streaming(
+    params,
+    volume,
+    cfg: SlidingWindowConfig = SlidingWindowConfig(),
+    model_cfg: BasicUNetConfig = BasicUNetConfig(),
+    slab_z_starts: int = 4,
+    binary_out: np.ndarray | None = None,
+    logits_out: np.ndarray | None = None,
+    resume_state_path: str | None = None,
+):
+    """Stream a (Z, Y, X) array-like (typically an np.memmap) through the
+    sliding-window engine in z-slabs of ``slab_z_starts`` window rows.
+
+    Writes finalized chunks into ``binary_out``/``logits_out`` (same shape as
+    ``volume``; may be disk memmaps). Returns (binary_out, logits_out).
+    Volume must be at least roi-sized (the pipeline's stage-1 padding
+    guarantees this, downsample_and_mask.py:392-397).
+
+    ``resume_state_path``: shard-level resume (SURVEY.md §5.4 — the reference
+    only resumes at brain granularity, __main__.py:124-142). A sidecar JSON
+    records the next slab after every finalized chunk; on restart the engine
+    recomputes only the slab preceding the recorded one (to regenerate the
+    on-device overlap carry — its outputs are already on disk) and continues.
+    A config mismatch in the sidecar restarts from scratch.
+    """
+    roi = tuple(cfg.roi)
+    z_img, y_img, x_img = volume.shape
+    assert all(volume.shape[i] >= roi[i] for i in range(3)), "volume < roi"
+    interval = scan_interval(volume.shape, roi, cfg.overlap)
+    z_starts = _dim_starts(z_img, roi[0], interval[0])
+    if binary_out is None:
+        binary_out = np.empty(volume.shape, np.uint8)
+    if logits_out is None:
+        logits_out = np.empty(volume.shape, np.float32)
+
+    passes = _tta_passes(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+
+    carry_acc = None  # device arrays carrying the overlap tail
+    carry_cnt = None
+    carry_z0 = 0  # global z of the carry's first plane
+    finalized = 0  # global z up to which output is written
+
+    n_slabs = -(-len(z_starts) // slab_z_starts)
+
+    # ---- shard-level resume ------------------------------------------------
+    import json
+    import os
+
+    state_sig = {
+        "roi": list(roi),
+        "overlap": cfg.overlap,
+        "tta": cfg.tta,
+        "slab_z_starts": slab_z_starts,
+        "shape": list(volume.shape),
+    }
+    start_slab = 0
+    regen_only_slab = None  # slab recomputed only to regenerate the carry
+    if resume_state_path:
+        # one-slab-back resume is exact only if no window reaches more than
+        # one slab ahead: (roi_z − stride_z) ≤ slab_z_starts · stride_z
+        assert roi[0] - interval[0] <= slab_z_starts * interval[0], (
+            "resume requires slab_z_starts ≥ (roi_z − stride_z)/stride_z"
+        )
+    if resume_state_path and os.path.exists(resume_state_path):
+        try:
+            with open(resume_state_path) as f:
+                state = json.load(f)
+            if state.get("sig") == state_sig and 0 < state.get("next_slab", 0) < n_slabs:
+                next_slab = state["next_slab"]
+                start_slab = next_slab - 1
+                regen_only_slab = start_slab
+                finalized = int(state["finalized"])
+        except (json.JSONDecodeError, KeyError):
+            pass
+
+    for slab_i in range(start_slab, n_slabs):
+        starts_z = z_starts[slab_i * slab_z_starts : (slab_i + 1) * slab_z_starts]
+        slab_z0 = starts_z[0]
+        slab_z1 = starts_z[-1] + roi[0]  # exclusive
+        slab = np.ascontiguousarray(volume[slab_z0:slab_z1])
+        slab_dev = jnp.asarray(slab)
+
+        # local window grid for this slab
+        ys = _dim_starts(y_img, roi[1], interval[1])
+        xs = _dim_starts(x_img, roi[2], interval[2])
+        starts = np.array(
+            [(z - slab_z0, yy, xx) for z in starts_z for yy in ys for xx in xs],
+            dtype=np.int32,
+        )
+
+        acc = jnp.zeros(slab.shape, jnp.float32)
+        cnt = jnp.zeros(slab.shape, jnp.int32)
+        if carry_acc is not None:
+            # carry covers [carry_z0, slab_z1_prev); add into this slab's head
+            off = carry_z0 - slab_z0
+            assert off >= 0
+            acc = acc.at[off : off + carry_acc.shape[0]].add(carry_acc)
+            cnt = cnt.at[off : off + carry_cnt.shape[0]].add(carry_cnt)
+
+        # host-side background scheduling for this slab
+        starts_padded, _ = _pad_to_batches(starts, cfg.batch_size)
+        maxes = np.asarray(
+            _window_maxes(
+                slab_dev, jnp.asarray(starts_padded), roi=roi, batch=cfg.batch_size
+            )
+        )[: starts.shape[0]]
+        active_mask = maxes > cfg.background_threshold
+        active = starts[active_mask]
+        skipped = starts[~active_mask]
+
+        if skipped.shape[0]:
+            sk_nb, sk_valid_nb = _to_batched(skipped, cfg.batch_size, len(passes))
+            acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
+        if active.shape[0]:
+            act_nb, valid_nb = _to_batched(active, cfg.batch_size)
+            for use_noise, flip_axis in passes:
+                key, sub = jax.random.split(key)
+                acc, cnt = _infer_accumulate_pass(
+                    params,
+                    slab_dev,
+                    acc,
+                    cnt,
+                    act_nb,
+                    valid_nb,
+                    sub,
+                    noise_std,
+                    roi=roi,
+                    flip_axis=flip_axis,
+                    use_noise=use_noise,
+                    model_cfg=model_cfg,
+                )
+
+        # finalized region: [finalized, next_slab_first_start) — voxels below
+        # the next slab's first window start receive no further contributions
+        if slab_i + 1 < n_slabs:
+            next_z0 = z_starts[(slab_i + 1) * slab_z_starts]
+        else:
+            next_z0 = z_img
+        fin_hi = next_z0 - slab_z0
+        if slab_i == regen_only_slab:
+            # resume: this slab's outputs are already on disk; it ran only to
+            # regenerate the overlap carry for the next slab
+            finalized = next_z0
+        else:
+            fin_lo = finalized - slab_z0
+            mean = acc[fin_lo:fin_hi] / jnp.maximum(cnt[fin_lo:fin_hi], 1).astype(
+                jnp.float32
+            )
+            logits_out[finalized:next_z0] = np.asarray(mean)
+            binary_out[finalized:next_z0] = np.asarray(
+                binarize_logits(
+                    mean,
+                    slab_dev[fin_lo:fin_hi],
+                    threshold=cfg.threshold,
+                    erosion_iters=cfg.erosion_iters,
+                )
+            )
+            finalized = next_z0
+            if resume_state_path:
+                with open(resume_state_path, "w") as f:
+                    json.dump(
+                        {
+                            "sig": state_sig,
+                            "next_slab": slab_i + 1,
+                            "finalized": finalized,
+                        },
+                        f,
+                    )
+
+        # carry the tail [next_z0, slab_z1) forward on device
+        if slab_i + 1 < n_slabs:
+            carry_acc = acc[fin_hi:]
+            carry_cnt = cnt[fin_hi:]
+            carry_z0 = next_z0
+        else:
+            carry_acc = carry_cnt = None
+
+    return binary_out, logits_out

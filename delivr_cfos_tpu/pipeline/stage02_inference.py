@@ -60,16 +60,37 @@ def run_inference(
         overlap=0.5,  # reference: inference.py:125
         tta=cfg.FLAGS.TEST_TIME_AUGMENTATION,
     )
+    # whole-volume-in-HBM vs z-slab streaming, following the reference's
+    # LOAD_ALL_RAM semantics (inference.py:240-247) plus a hard size guard:
+    # input + f32 accumulator + i32 count ≈ 10 bytes/voxel must fit on device
+    device_bytes = 12 * 2**30
+    whole_volume_ok = cfg.FLAGS.LOAD_ALL_RAM and volume.size * 10 < device_bytes
     log(
         f"Inference for {mouse_name}: padded {volume.shape}, "
-        f"real ({real_z}, {real_y}, {real_x}), tta={sw_cfg.tta}"
+        f"real ({real_z}, {real_y}, {real_x}), tta={sw_cfg.tta}, "
+        f"mode={'hbm' if whole_volume_ok else 'streaming'}"
     )
-    mean_logits, _ = infer_volume(
-        params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
-    )
+    if whole_volume_ok:
+        mean_logits, _ = infer_volume(
+            params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
+        )
+        logits_real = mean_logits[:real_z, :real_y, :real_x]
+    else:
+        from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
+
+        logits_full = np.empty(volume.shape, np.float32)
+        binary_full = np.empty(volume.shape, np.uint8)
+        infer_volume_streaming(
+            params,
+            volume,
+            sw_cfg,
+            model_cfg,
+            binary_out=binary_full,
+            logits_out=logits_full,
+        )
+        logits_real = jnp.asarray(logits_full[:real_z, :real_y, :real_x])
 
     # binarization over the REAL (unpadded) extent, reference create_nifti_seg
-    logits_real = mean_logits[:real_z, :real_y, :real_x]
     input_real = jnp.asarray(volume[:real_z, :real_y, :real_x])
 
     if cfg.FLAGS.SAVE_ACTIVATED_OUTPUT:
@@ -101,3 +122,34 @@ def run_inference(
     del out
     log("Blob detection finished", mouse_name)
     return session_path
+
+
+def run_inference_from_nifti(
+    nifti_path: str,
+    weights_path: str,
+    output_binaries_path: str,
+    tta: bool = False,
+    window: tuple = (96, 96, 64),
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Convenience variant of the reference's legacy NIfTI loader
+    (reference: inference/inference_nifti_load.py — loads a whole .nii into
+    RAM instead of the memmapped npy): read a NIfTI volume (reference axis
+    convention, filehandling.py:24-35), run sliding-window inference, write
+    binaries as .npy. Returns the binary volume."""
+    from delivr_cfos_tpu.models.basic_unet import infer_model_config
+    from delivr_cfos_tpu.utils.io.nifti import read_nifti
+
+    params = load_weights(weights_path)
+    model_cfg = infer_model_config(params)
+    vol = np.ascontiguousarray(
+        np.transpose(np.asarray(read_nifti(nifti_path)), (2, 0, 1))
+    ).astype(np.uint16)  # (y, x, z) → (z, y, x)
+    sw_cfg = SlidingWindowConfig(roi=window, tta=tta, threshold=threshold)
+    _, binaries = infer_volume(params, vol, sw_cfg, model_cfg)
+    binaries = np.asarray(binaries)
+    if output_binaries_path:
+        mm = open_memmap(output_binaries_path, shape=binaries.shape, dtype=np.uint8)
+        mm[:] = binaries
+        mm.flush()
+    return binaries

@@ -1,0 +1,62 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from delivr_cfos_tpu.analysis.brainrender_export import (
+    export_cells_for_brainrender,
+    mbrainaligner_atlas_to_ccf_um,
+)
+from delivr_cfos_tpu.analysis.depth_profile import (
+    calculate_mask_distance,
+    depth_intensity_profile,
+)
+
+
+def test_depth_profile_monotone_geometry():
+    """A solid ball with intensity ∝ depth should give increasing medians."""
+    shape = (40, 40, 40)
+    zz, yy, xx = np.indices(shape)
+    c = 20
+    dist = np.sqrt((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2)
+    vol = np.where(dist < 15, (15 - dist) * 100, 0).astype(np.uint16)
+    profile = depth_intensity_profile(vol, spacing=(1, 1, 1))
+    med = profile["median_intensity"].dropna().to_numpy()
+    assert len(med) >= 10
+    assert (np.diff(med) >= 0).mean() > 0.8  # essentially monotone
+
+
+def test_calculate_mask_distance_artifacts(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = np.zeros((20, 20, 20), np.uint16)
+    vol[4:16, 4:16, 4:16] = (rng.random((12, 12, 12)) * 500 + 50).astype(np.uint16)
+    out = str(tmp_path)
+    profile = calculate_mask_distance(vol, out, "sampleA", spacing=(6, 1.62, 1.62))
+    assert os.path.exists(os.path.join(out, "sampleA_combined_data.csv"))
+    assert len(profile) > 0
+
+
+def test_brainrender_transform_formula():
+    cells = pd.DataFrame({"x": [528.0, 210.0], "y": [320.0, 120.0], "z": [10.0, 50.0]})
+    pts = mbrainaligner_atlas_to_ccf_um(cells)
+    # x' = (528−x−210)·25 ; y' = (320−y+200)·25 ; z' = z·25
+    np.testing.assert_allclose(pts[0], [(-210) * 25, 200 * 25, 250])
+    np.testing.assert_allclose(pts[1], [(528 - 210 - 210) * 25, (320 - 120 + 200) * 25, 1250])
+
+
+def test_export_cells_for_brainrender(tmp_path):
+    cells = pd.DataFrame(
+        {
+            "x": [10, 20],
+            "y": [30, 40],
+            "z": [50, 60],
+            "acronym": ["CA1", "Isocortex"],
+        }
+    )
+    csv = str(tmp_path / "cells_m.csv")
+    cells.to_csv(csv)
+    out = export_cells_for_brainrender(csv, str(tmp_path), "m", region_acronyms=["CA1"])
+    pts = np.load(out)
+    assert pts.shape == (1, 3)
+    np.testing.assert_allclose(pts[0], [50 * 25, 30 * 25, 10 * 25])

@@ -1,0 +1,85 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig
+from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
+from delivr_cfos_tpu.models import BasicUNetConfig, init_params
+
+TINY = (4, 4, 8, 16, 32, 4)
+MODEL_CFG = BasicUNetConfig(features=TINY)
+ROI = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(5), MODEL_CFG)
+
+
+def test_resume_produces_identical_output(params, tmp_path):
+    rng = np.random.default_rng(0)
+    vol = np.zeros((72, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((72, 16, 32)) * 800).astype(np.uint16)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+
+    # uninterrupted run
+    bin_full, log_full = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2
+    )
+
+    # interrupted run: simulate by running fully, then truncating the state
+    # back to slab 2 and re-running with stale outputs beyond that point
+    state = str(tmp_path / "resume.json")
+    bin_res = np.zeros(vol.shape, np.uint8)
+    log_res = np.zeros(vol.shape, np.float32)
+    infer_volume_streaming(
+        params,
+        vol,
+        cfg,
+        MODEL_CFG,
+        slab_z_starts=2,
+        binary_out=bin_res,
+        logits_out=log_res,
+        resume_state_path=state,
+    )
+    with open(state) as f:
+        st = json.load(f)
+    # rewind to slab 2 and corrupt everything not yet "finalized"
+    st["next_slab"] = 2
+    st["finalized"] = 32  # z-start of slab 2 (starts 0,8 | 16,24 | 32,...)
+    with open(state, "w") as f:
+        json.dump(st, f)
+    log_res[32:] = -1
+    bin_res[32:] = 255
+
+    infer_volume_streaming(
+        params,
+        vol,
+        cfg,
+        MODEL_CFG,
+        slab_z_starts=2,
+        binary_out=bin_res,
+        logits_out=log_res,
+        resume_state_path=state,
+    )
+    np.testing.assert_allclose(log_res, log_full, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(bin_res, bin_full)
+
+
+def test_resume_with_mismatched_config_restarts(params, tmp_path):
+    rng = np.random.default_rng(1)
+    vol = np.zeros((48, 32, 32), np.uint16)
+    vol[:, 16:] = (rng.random((48, 16, 32)) * 500).astype(np.uint16)
+    state = str(tmp_path / "resume.json")
+    with open(state, "w") as f:
+        json.dump({"sig": {"bogus": True}, "next_slab": 2, "finalized": 16}, f)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+    bin_a, log_a = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2, resume_state_path=state
+    )
+    bin_b, log_b = infer_volume_streaming(params, vol, cfg, MODEL_CFG, slab_z_starts=2)
+    np.testing.assert_allclose(log_a, log_b, rtol=1e-5)
