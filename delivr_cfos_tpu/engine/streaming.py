@@ -35,7 +35,7 @@ from delivr_cfos_tpu.engine.sliding_window import (
     _dim_starts,
 )
 from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
-from delivr_cfos_tpu.ops.morphology import binarize_logits
+from delivr_cfos_tpu.ops.morphology import binary_erosion_cross
 
 
 def infer_volume_streaming(
@@ -46,13 +46,29 @@ def infer_volume_streaming(
     slab_z_starts: int = 4,
     binary_out: np.ndarray | None = None,
     logits_out: np.ndarray | None = None,
+    sigmoid_out: np.ndarray | None = None,
+    out_shape: tuple | None = None,
     resume_state_path: str | None = None,
 ):
     """Stream a (Z, Y, X) array-like (typically an np.memmap) through the
     sliding-window engine in z-slabs of ``slab_z_starts`` window rows.
 
-    Writes finalized chunks into ``binary_out``/``logits_out`` (same shape as
-    ``volume``; may be disk memmaps). Returns (binary_out, logits_out).
+    Writes finalized chunks into ``binary_out``/``logits_out``/``sigmoid_out``
+    (each shaped ``out_shape``; typically disk memmaps — this is the
+    out-of-core contract: no full-volume host float32 buffer ever exists,
+    matching the discipline of the reference's memmap accumulators,
+    inference/inference.py:240-247, without its per-batch host round trips).
+    ``logits_out``/``sigmoid_out`` may be None to skip that output.
+    Returns (binary_out, logits_out).
+
+    ``out_shape`` crops the outputs to the real (unpadded) stack extent
+    (stage-1 pads Y/X up to the crop size and the contract is that outputs
+    cover only the real voxels). Binarization then matches the in-HBM path's
+    crop-then-binarize semantics bit-for-bit: the mask erosion for a
+    finalized chunk is computed with ``erosion_iters`` planes of z-context
+    read from ``volume`` on either side, so chunk cuts erode exactly like the
+    whole-volume erosion does.
+
     Volume must be at least roi-sized (the pipeline's stage-1 padding
     guarantees this, downsample_and_mask.py:392-397).
 
@@ -66,12 +82,13 @@ def infer_volume_streaming(
     roi = tuple(cfg.roi)
     z_img, y_img, x_img = volume.shape
     assert all(volume.shape[i] >= roi[i] for i in range(3)), "volume < roi"
+    if out_shape is None:
+        out_shape = volume.shape
+    real_z, real_y, real_x = out_shape
     interval = scan_interval(volume.shape, roi, cfg.overlap)
     z_starts = _dim_starts(z_img, roi[0], interval[0])
     if binary_out is None:
-        binary_out = np.empty(volume.shape, np.uint8)
-    if logits_out is None:
-        logits_out = np.empty(volume.shape, np.float32)
+        binary_out = np.empty(out_shape, np.uint8)
 
     passes = _tta_passes(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -94,6 +111,7 @@ def infer_volume_streaming(
         "tta": cfg.tta,
         "slab_z_starts": slab_z_starts,
         "shape": list(volume.shape),
+        "out_shape": list(out_shape),
     }
     start_slab = 0
     regen_only_slab = None  # slab recomputed only to regenerate the carry
@@ -188,15 +206,33 @@ def infer_volume_streaming(
             mean = acc[fin_lo:fin_hi] / jnp.maximum(cnt[fin_lo:fin_hi], 1).astype(
                 jnp.float32
             )
-            logits_out[finalized:next_z0] = np.asarray(mean)
-            binary_out[finalized:next_z0] = np.asarray(
-                binarize_logits(
-                    mean,
-                    slab_dev[fin_lo:fin_hi],
-                    threshold=cfg.threshold,
-                    erosion_iters=cfg.erosion_iters,
+            # crop the write to the real (unpadded) extent
+            write_lo, write_hi = finalized, min(next_z0, real_z)
+            if write_hi > write_lo:
+                mean_c = mean[: write_hi - write_lo, :real_y, :real_x]
+                if logits_out is not None:
+                    logits_out[write_lo:write_hi] = np.asarray(mean_c)
+                seg = (jax.nn.sigmoid(mean_c) >= cfg.threshold).astype(jnp.uint8)
+                if sigmoid_out is not None:
+                    sigmoid_out[write_lo:write_hi] = np.asarray(
+                        jax.nn.sigmoid(mean_c), np.float32
+                    )
+                # mask erosion with erosion_iters planes of z-context on each
+                # side: bit-identical to eroding the whole real volume at once
+                # (cross erosion after E iterations only sees the L1-ball of
+                # radius E; context borders ≥E planes away cannot influence
+                # the written chunk, and border_value=1 at real borders
+                # matches the whole-volume computation)
+                E = cfg.erosion_iters
+                ctx_lo = max(write_lo - E, 0)
+                ctx_hi = min(write_hi + E, real_z)
+                input_ctx = jnp.asarray(
+                    np.ascontiguousarray(volume[ctx_lo:ctx_hi, :real_y, :real_x])
                 )
-            )
+                mask = binary_erosion_cross(input_ctx > 0, E)[
+                    write_lo - ctx_lo : write_lo - ctx_lo + (write_hi - write_lo)
+                ]
+                binary_out[write_lo:write_hi] = np.asarray(seg * mask)
             finalized = next_z0
             if resume_state_path:
                 with open(resume_state_path, "w") as f:
@@ -216,5 +252,9 @@ def infer_volume_streaming(
             carry_z0 = next_z0
         else:
             carry_acc = carry_cnt = None
+
+    # completed: drop the resume sidecar so a later forced re-run starts clean
+    if resume_state_path and os.path.exists(resume_state_path):
+        os.remove(resume_state_path)
 
     return binary_out, logits_out

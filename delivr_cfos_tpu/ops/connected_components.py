@@ -142,6 +142,188 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
+def _union_faces(uf: "_UnionFind", prev_plane: np.ndarray, first_plane: np.ndarray):
+    """26-connectivity between two consecutive z-planes: union every pair of
+    positive labels within a 3×3 (y, x) neighborhood across the face."""
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            a = prev_plane
+            b = first_plane
+            ay0, ay1 = max(dy, 0), a.shape[0] + min(dy, 0)
+            ax0, ax1 = max(dx, 0), a.shape[1] + min(dx, 0)
+            by0, by1 = max(-dy, 0), b.shape[0] + min(-dy, 0)
+            bx0, bx1 = max(-dx, 0), b.shape[1] + min(-dx, 0)
+            av = a[ay0:ay1, ax0:ax1]
+            bv = b[by0:by1, bx0:bx1]
+            both = (av > 0) & (bv > 0)
+            if both.any():
+                pairs = np.unique(np.stack([av[both], bv[both]], axis=1), axis=0)
+                for pa, pb in pairs:
+                    uf.union(int(pa), int(pb))
+
+
+def label_out_of_core(
+    binary,
+    labels_out,
+    slab_planes: int = 64,
+    label_fn=None,
+):
+    """Label a (Z, Y, X) array-like (typically a disk memmap) without ever
+    holding the volume — or the label field — in RAM, the TPU-framework
+    equivalent of cc3d's ``out_file=`` disk labeling for RAM < 2× dataset
+    (reference: count_blobs.py:59-64).
+
+    Two passes over z-slabs of ``slab_planes``:
+
+    1. label each slab independently (``label_fn``: native C++ union-find or
+       scipy two-pass), offset to globally unique provisional ids, write the
+       provisional labels into ``labels_out`` (int32 memmap, same shape), and
+       union provisional ids across slab faces (26-connectivity). Per-slab
+       statistics (voxel counts, centroid sums, bbox extremes, background
+       projections) are accumulated incrementally — O(slab + n_labels) memory.
+    2. rewrite ``labels_out`` slab-by-slab through the canonical LUT.
+
+    Canonical numbering matches the whole-volume engines: components ordered
+    by first raster appearance (provisional ids grow in raster order, so the
+    minimum provisional id in each union class is its first appearance).
+
+    Returns (n_components, stats) where stats has the cc3d-compatible layout
+    of ``component_statistics`` (row 0 = background).
+    """
+    if label_fn is None:
+        from delivr_cfos_tpu.native.cc import cc_label_native
+
+        def label_fn(vol):
+            native = cc_label_native(vol)
+            return native if native is not None else label_volume_host(vol)
+
+    Z, Y, X = binary.shape
+    assert labels_out.shape == binary.shape
+    uf = _UnionFind()
+    next_base = 1
+    prev_last_plane = None
+    # per-provisional-id accumulators (lists indexed by provisional id - 1)
+    counts_parts = []
+    csum_parts = []  # (n_loc, 3) float64 sums of (z, y, x), z in global coords
+    bbox_parts = []  # (n_loc, 6) int64 (zmin, zmax, ymin, ymax, xmin, xmax)
+    bg_any_z = np.zeros(Z, bool)
+    bg_any_y = np.zeros(Y, bool)
+    bg_any_x = np.zeros(X, bool)
+    slab_bounds = []
+
+    for z0 in range(0, Z, slab_planes):
+        z1 = min(z0 + slab_planes, Z)
+        slab = np.ascontiguousarray(binary[z0:z1])
+        lab, n_loc = label_fn(slab)
+        glob = lab.astype(np.int32)
+        fg = glob > 0
+        glob[fg] += next_base - 1
+        labels_out[z0:z1] = glob
+        slab_bounds.append((z0, z1))
+        if prev_last_plane is not None:
+            _union_faces(uf, prev_last_plane, glob[0])
+        prev_last_plane = glob[-1].copy()
+
+        # local statistics on 1..n_loc
+        flat = lab[fg]
+        zz, yy, xx = np.nonzero(fg)
+        cnt = np.bincount(flat, minlength=n_loc + 1)[1:].astype(np.int64)
+        cs = np.zeros((n_loc, 3), np.float64)
+        if flat.size:
+            cs[:, 0] = np.bincount(flat, weights=zz + z0, minlength=n_loc + 1)[1:]
+            cs[:, 1] = np.bincount(flat, weights=yy, minlength=n_loc + 1)[1:]
+            cs[:, 2] = np.bincount(flat, weights=xx, minlength=n_loc + 1)[1:]
+        bb = np.zeros((n_loc, 6), np.int64)
+        if flat.size:
+            for axis, coords, off in ((0, zz, z0), (1, yy, 0), (2, xx, 0)):
+                mins = np.full(n_loc + 1, np.iinfo(np.int64).max)
+                maxs = np.full(n_loc + 1, -1)
+                np.minimum.at(mins, flat, coords + off)
+                np.maximum.at(maxs, flat, coords + off)
+                bb[:, 2 * axis] = mins[1:]
+                bb[:, 2 * axis + 1] = maxs[1:]
+        counts_parts.append(cnt)
+        csum_parts.append(cs)
+        bbox_parts.append(bb)
+
+        bg = ~fg
+        if bg.any():
+            bg_any_z[z0:z1] |= bg.any(axis=(1, 2))
+            bg_any_y |= bg.any(axis=(0, 2))
+            bg_any_x |= bg.any(axis=(0, 1))
+
+        next_base += n_loc
+
+    total_prov = next_base - 1
+    counts_prov = (
+        np.concatenate(counts_parts) if counts_parts else np.zeros(0, np.int64)
+    )
+    csums_prov = (
+        np.concatenate(csum_parts) if csum_parts else np.zeros((0, 3), np.float64)
+    )
+    bbox_prov = (
+        np.concatenate(bbox_parts) if bbox_parts else np.zeros((0, 6), np.int64)
+    )
+
+    # canonical remap. The union-find always keeps the smallest id as root
+    # (_UnionFind.union), so every class root IS its min provisional id, and
+    # ascending root order == first-raster-appearance order. Only ids that
+    # were ever merged live in uf.parent; everything else is its own root.
+    roots_of = np.arange(total_prov + 1, dtype=np.int64)
+    for k in list(uf.parent):
+        roots_of[k] = uf.find(k)
+    uniq_roots = np.unique(roots_of[1:]) if total_prov else np.zeros(0, np.int64)
+    n = int(uniq_roots.size)
+    lut = np.zeros(total_prov + 1, np.int32)
+    if total_prov:
+        lut[1:] = np.searchsorted(uniq_roots, roots_of[1:]).astype(np.int32) + 1
+
+    # pass 2: rewrite labels through the LUT
+    for z0, z1 in slab_bounds:
+        chunk = np.asarray(labels_out[z0:z1])
+        labels_out[z0:z1] = lut[chunk]
+
+    # merge statistics into canonical ids
+    counts = np.zeros(n + 1, np.int64)
+    csums = np.zeros((n + 1, 3), np.float64)
+    bboxes = np.zeros((n + 1, 6), np.int64)
+    bboxes[:, 0::2] = np.iinfo(np.int64).max
+    bboxes[:, 1::2] = -1
+    ids = lut[1:]  # canonical id of each provisional id
+    np.add.at(counts, ids, counts_prov)
+    np.add.at(csums, ids, csums_prov)
+    for axis in range(3):
+        np.minimum.at(bboxes[:, 2 * axis], ids, bbox_prov[:, 2 * axis])
+        np.maximum.at(bboxes[:, 2 * axis + 1], ids, bbox_prov[:, 2 * axis + 1])
+    bboxes[bboxes[:, 1] < 0] = 0
+
+    centroids = np.full((n + 1, 3), np.nan, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        centroids[1:] = csums[1:] / counts[1:, None].astype(np.float64)
+
+    counts[0] = Z * Y * X - counts[1:].sum()
+    if counts[0] > 0:
+        grid_sums = np.array(
+            [
+                Y * X * Z * (Z - 1) / 2.0,
+                Z * X * Y * (Y - 1) / 2.0,
+                Z * Y * X * (X - 1) / 2.0,
+            ]
+        )
+        centroids[0] = (grid_sums - csums[1:].sum(axis=0)) / counts[0]
+        for axis, proj in ((0, bg_any_z), (1, bg_any_y), (2, bg_any_x)):
+            idx = np.nonzero(proj)[0]
+            bboxes[0, 2 * axis] = idx[0]
+            bboxes[0, 2 * axis + 1] = idx[-1]
+
+    stats = {
+        "voxel_counts": counts,
+        "centroids": centroids,
+        "bounding_boxes": bboxes,
+    }
+    return n, stats
+
+
 def label_slabs_streaming(slab_iter, label_fn=label_volume_host):
     """Label a volume delivered as consecutive z-slabs.
 
@@ -220,6 +402,64 @@ def apply_remap(labels: np.ndarray, remap: dict) -> np.ndarray:
 # --------------------------------------------------------------------------
 # statistics (cc3d.statistics equivalent)
 # --------------------------------------------------------------------------
+
+
+def component_statistics_streaming(labels, n: int, slab_planes: int = 64) -> dict:
+    """``component_statistics`` over an out-of-core (memmapped) canonical
+    label volume: one z-slab pass, O(slab + n) memory. Same cc3d-compatible
+    output layout (row 0 = background, incl. analytic background centroid
+    and projection-based background bbox)."""
+    Z, Y, X = labels.shape
+    counts = np.zeros(n + 1, np.int64)
+    csums = np.zeros((n + 1, 3), np.float64)
+    bboxes = np.zeros((n + 1, 6), np.int64)
+    bboxes[:, 0::2] = np.iinfo(np.int64).max
+    bboxes[:, 1::2] = -1
+    bg_any = [np.zeros(Z, bool), np.zeros(Y, bool), np.zeros(X, bool)]
+
+    for z0 in range(0, Z, slab_planes):
+        z1 = min(z0 + slab_planes, Z)
+        lab = np.asarray(labels[z0:z1])
+        fg = lab > 0
+        vals = lab[fg]
+        zz, yy, xx = np.nonzero(fg)
+        counts += np.bincount(vals, minlength=n + 1).astype(np.int64)
+        if vals.size:
+            csums[:, 0] += np.bincount(vals, weights=zz + z0, minlength=n + 1)
+            csums[:, 1] += np.bincount(vals, weights=yy, minlength=n + 1)
+            csums[:, 2] += np.bincount(vals, weights=xx, minlength=n + 1)
+            for axis, coords, off in ((0, zz, z0), (1, yy, 0), (2, xx, 0)):
+                np.minimum.at(bboxes[:, 2 * axis], vals, coords + off)
+                np.maximum.at(bboxes[:, 2 * axis + 1], vals, coords + off)
+        bg = ~fg
+        if bg.any():
+            bg_any[0][z0:z1] |= bg.any(axis=(1, 2))
+            bg_any[1] |= bg.any(axis=(0, 2))
+            bg_any[2] |= bg.any(axis=(0, 1))
+
+    bboxes[bboxes[:, 1] < 0] = 0
+    centroids = np.full((n + 1, 3), np.nan, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        centroids[1:] = csums[1:] / counts[1:, None].astype(np.float64)
+    counts[0] = Z * Y * X - counts[1:].sum()
+    if counts[0] > 0:
+        grid_sums = np.array(
+            [
+                Y * X * Z * (Z - 1) / 2.0,
+                Z * X * Y * (Y - 1) / 2.0,
+                Z * Y * X * (X - 1) / 2.0,
+            ]
+        )
+        centroids[0] = (grid_sums - csums[1:].sum(axis=0)) / counts[0]
+        for axis in range(3):
+            idx = np.nonzero(bg_any[axis])[0]
+            bboxes[0, 2 * axis] = idx[0]
+            bboxes[0, 2 * axis + 1] = idx[-1]
+    return {
+        "voxel_counts": counts,
+        "centroids": centroids,
+        "bounding_boxes": bboxes,
+    }
 
 
 def component_statistics(labels: np.ndarray, n: int) -> dict:

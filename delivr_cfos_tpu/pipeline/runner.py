@@ -71,7 +71,13 @@ def run_pipeline(cfg: PipelineConfig) -> StageTimer:
                     "binary_segmentations",
                     "binaries.npy",
                 )
-                if os.path.exists(binaries):
+                resume_sidecar = os.path.join(
+                    os.path.dirname(binaries), "streaming_resume.json"
+                )
+                # a binaries.npy with a live resume sidecar is a partially
+                # written streaming run, not a finished brain — re-enter
+                # run_inference, which resumes at the recorded slab
+                if os.path.exists(binaries) and not os.path.exists(resume_sidecar):
                     log(mouse, "already processed, skipping...")
                     continue
                 stack_shape = (1, 1, *get_real_size(os.path.join(cfg.raw_location, mouse)))

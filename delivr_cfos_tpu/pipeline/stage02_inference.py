@@ -70,54 +70,67 @@ def run_inference(
         f"real ({real_z}, {real_y}, {real_x}), tta={sw_cfg.tta}, "
         f"mode={'hbm' if whole_volume_ok else 'streaming'}"
     )
+    resume_path = os.path.join(binaries_path, "streaming_resume.json")
+    binaries_file = os.path.join(binaries_path, "binaries.npy")
+    activated_file = os.path.join(binaries_path, "network_output.npy")
+    # a live resume sidecar means a partially streamed binaries.npy is on
+    # disk — reopen it in place so the finished chunks survive the resume
+    resuming = os.path.exists(resume_path) and os.path.exists(binaries_file)
+    out = open_memmap(
+        binaries_file,
+        shape=(real_z, real_y, real_x),
+        dtype=np.uint8,
+        mode="r+" if resuming else "w+",
+    )
+    activated = None
+    if cfg.FLAGS.SAVE_ACTIVATED_OUTPUT:
+        os.makedirs(os.path.join(session_path, "network_outputs"), exist_ok=True)
+        activated = open_memmap(
+            activated_file,
+            shape=(real_z, real_y, real_x),
+            dtype=np.float32,
+            mode="r+" if resuming and os.path.exists(activated_file) else "w+",
+        )
+
     if whole_volume_ok:
         mean_logits, _ = infer_volume(
             params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
         )
         logits_real = mean_logits[:real_z, :real_y, :real_x]
+        # binarization over the REAL (unpadded) extent, reference create_nifti_seg
+        input_real = jnp.asarray(volume[:real_z, :real_y, :real_x])
+        if activated is not None:
+            import jax.nn
+
+            activated[:] = np.asarray(jax.nn.sigmoid(logits_real), np.float32)
+        out[:] = np.asarray(
+            binarize_logits(
+                logits_real,
+                input_real,
+                threshold=sw_cfg.threshold,
+                erosion_iters=sw_cfg.erosion_iters,
+            )
+        )
     else:
+        # out-of-core: finalized chunks stream straight into the disk
+        # memmaps; no full-volume host float32 buffer is ever allocated
+        # (reference discipline: memmap accumulators, inference.py:240-247)
         from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
 
-        logits_full = np.empty(volume.shape, np.float32)
-        binary_full = np.empty(volume.shape, np.uint8)
         infer_volume_streaming(
             params,
             volume,
             sw_cfg,
             model_cfg,
-            binary_out=binary_full,
-            logits_out=logits_full,
+            binary_out=out,
+            sigmoid_out=activated,
+            out_shape=(real_z, real_y, real_x),
+            resume_state_path=resume_path,
         )
-        logits_real = jnp.asarray(logits_full[:real_z, :real_y, :real_x])
 
-    # binarization over the REAL (unpadded) extent, reference create_nifti_seg
-    input_real = jnp.asarray(volume[:real_z, :real_y, :real_x])
-
-    if cfg.FLAGS.SAVE_ACTIVATED_OUTPUT:
-        os.makedirs(os.path.join(session_path, "network_outputs"), exist_ok=True)
-        activated = open_memmap(
-            os.path.join(binaries_path, "network_output.npy"),
-            shape=(real_z, real_y, real_x),
-            dtype=np.float32,
-        )
-        import jax.nn
-
-        activated[:] = np.asarray(jax.nn.sigmoid(logits_real), np.float32)
+    if activated is not None:
         activated.flush()
         del activated
-
-    binaries = binarize_logits(
-        logits_real,
-        input_real,
-        threshold=sw_cfg.threshold,
-        erosion_iters=sw_cfg.erosion_iters,
-    )
-    out = open_memmap(
-        os.path.join(binaries_path, "binaries.npy"),
-        shape=(real_z, real_y, real_x),
-        dtype=np.uint8,
-    )
-    out[:] = np.asarray(binaries)
     out.flush()
     del out
     log("Blob detection finished", mouse_name)

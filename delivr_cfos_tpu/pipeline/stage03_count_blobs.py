@@ -32,21 +32,23 @@ from delivr_cfos_tpu.config import PipelineConfig
 from delivr_cfos_tpu.native.cc import cc_label_native, cc_statistics_native
 from delivr_cfos_tpu.ops.connected_components import (
     component_statistics,
+    component_statistics_streaming,
+    label_out_of_core,
     label_volume_host,
 )
-from delivr_cfos_tpu.utils.io.npy import memmap_raw
+from delivr_cfos_tpu.utils.io.npy import memmap_raw, open_memmap
 from delivr_cfos_tpu.utils.logging import log
 
 
 def _load_cached_labels(path_out: str, brain: str):
     for item in (x for x in os.listdir(path_out) if x.endswith(".npy")):
         if brain in item and "-cc3d" in item:
-            n = int(item.split("-")[-2]) if item.count("-") >= 2 else None
             try:
                 n = int(item.rsplit("-", 2)[-2])
             except ValueError:
                 continue
-            return np.load(os.path.join(path_out, item)), n
+            # memmapped: stage 3 only needs the stats; stage 6 streams planes
+            return np.load(os.path.join(path_out, item), mmap_mode="r"), n
     return None
 
 
@@ -73,24 +75,51 @@ def count_blobs(
     brain_path = os.path.join(path_in, brain, "binary_segmentations", "binaries.npy")
     bin_img = memmap_raw(brain_path, shape=stack_shape[2:], dtype=np.uint8)
 
+    load_all_ram = cfg.FLAGS.LOAD_ALL_RAM
+    stats = None
     cached = _load_cached_labels(path_out, brain)
     if cached is None:
         log("Labeling connected components", brain)
-        vol = np.asarray(bin_img)
-        native = cc_label_native(vol)
-        if native is not None:
-            labels, n = native
+        if load_all_ram:
+            # in-RAM path (reference default: cc3d without out_file,
+            # count_blobs.py:59-62)
+            vol = np.asarray(bin_img)
+            native = cc_label_native(vol)
+            if native is not None:
+                labels, n = native
+            else:
+                labels, n = label_volume_host(vol)
+            np.save(os.path.join(path_out, f"{brain}-{n}-cc3d.npy"), labels)
         else:
-            labels, n = label_volume_host(vol)
-        np.save(os.path.join(path_out, f"{brain}-{n}-cc3d.npy"), labels)
+            # out-of-core path (reference: cc3d out_file= disk labeling for
+            # RAM < 2× dataset, count_blobs.py:63-64): slab-streamed labeling
+            # straight into the cache memmap; N is only known at the end, so
+            # label into a temp name and rename into the cache contract
+            tmp_path = os.path.join(path_out, f"{brain}-inprogress-cc3d.npy")
+            labels_mm = open_memmap(tmp_path, shape=bin_img.shape, dtype=np.int32)
+            n, stats = label_out_of_core(bin_img, labels_mm)
+            labels_mm.flush()
+            del labels_mm
+            final_path = os.path.join(path_out, f"{brain}-{n}-cc3d.npy")
+            os.replace(tmp_path, final_path)
+            labels = np.load(final_path, mmap_mode="r")
     else:
         labels, n = cached
         log("Cached labels found", brain, n)
 
-    stats = _load_cached_stats(path_out, brain)
     if stats is None:
-        stats = cc_statistics_native(labels, n) or component_statistics(labels, n)
-        with open(os.path.join(path_out, f"{brain}-stats.pickle"), "wb") as f:
+        stats = _load_cached_stats(path_out, brain)
+    if stats is None:
+        if load_all_ram:
+            lab_arr = np.asarray(labels)
+            stats = cc_statistics_native(lab_arr, n) or component_statistics(
+                lab_arr, n
+            )
+        else:
+            stats = component_statistics_streaming(labels, n)
+    stats_path = os.path.join(path_out, f"{brain}-stats.pickle")
+    if not os.path.exists(stats_path):
+        with open(stats_path, "wb") as f:
             pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     # vectorized table build (the reference's per-row pd.concat is O(N²),

@@ -32,6 +32,8 @@ from delivr_cfos_tpu.config import PipelineConfig
 from delivr_cfos_tpu.native.cc import cc_label_native, cc_statistics_native
 from delivr_cfos_tpu.ops.connected_components import (
     component_statistics,
+    component_statistics_streaming,
+    label_out_of_core,
     label_volume_host,
 )
 from delivr_cfos_tpu.utils.io.npy import memmap_raw
@@ -58,14 +60,32 @@ def _load_labels_and_stats(cfg: PipelineConfig, brain: str, bin_img: np.ndarray)
                 with open(os.path.join(post_out, item), "rb") as f:
                     stats = pickle.load(f)
     if labels is None:
-        native = cc_label_native(np.asarray(bin_img))
-        labels, n = native if native is not None else label_volume_host(
-            np.asarray(bin_img)
-        )
+        if cfg.FLAGS.LOAD_ALL_RAM:
+            native = cc_label_native(np.asarray(bin_img))
+            labels, n = native if native is not None else label_volume_host(
+                np.asarray(bin_img)
+            )
+        else:
+            # out-of-core relabel into the stage-3 cache location so the next
+            # stage-6 run (and a later stage-3 rerun) reuses it
+            os.makedirs(post_out, exist_ok=True)
+            from delivr_cfos_tpu.utils.io.npy import open_memmap
+
+            tmp_path = os.path.join(post_out, f"{brain}-inprogress-cc3d.npy")
+            labels_mm = open_memmap(tmp_path, shape=bin_img.shape, dtype=np.int32)
+            n, stats = label_out_of_core(bin_img, labels_mm)
+            labels_mm.flush()
+            del labels_mm
+            final = os.path.join(post_out, f"{brain}-{n}-cc3d.npy")
+            os.replace(tmp_path, final)
+            labels = np.load(final, mmap_mode="r")
     if stats is None:
-        stats = cc_statistics_native(np.asarray(labels), n) or component_statistics(
-            np.asarray(labels), n
-        )
+        if cfg.FLAGS.LOAD_ALL_RAM:
+            stats = cc_statistics_native(
+                np.asarray(labels), n
+            ) or component_statistics(np.asarray(labels), n)
+        else:
+            stats = component_statistics_streaming(labels, n)
     return labels, n, stats
 
 

@@ -25,7 +25,8 @@ def test_streaming_logits_match_whole_volume(params, slab_z_starts):
     cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
     mean_whole, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
     _, logits_stream = infer_volume_streaming(
-        params, vol, cfg, MODEL_CFG, slab_z_starts=slab_z_starts
+        params, vol, cfg, MODEL_CFG, slab_z_starts=slab_z_starts,
+        logits_out=np.empty(vol.shape, np.float32),
     )
     np.testing.assert_allclose(
         logits_stream, np.asarray(mean_whole), rtol=1e-4, atol=1e-4
@@ -81,7 +82,8 @@ def test_streaming_tta(params):
     )
     mean_whole, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
     _, logits_stream = infer_volume_streaming(
-        params, vol, cfg, MODEL_CFG, slab_z_starts=2
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+        logits_out=np.empty(vol.shape, np.float32),
     )
     np.testing.assert_allclose(
         logits_stream, np.asarray(mean_whole), rtol=1e-4, atol=1e-4

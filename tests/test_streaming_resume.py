@@ -28,7 +28,8 @@ def test_resume_produces_identical_output(params, tmp_path):
 
     # uninterrupted run
     bin_full, log_full = infer_volume_streaming(
-        params, vol, cfg, MODEL_CFG, slab_z_starts=2
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+        logits_out=np.empty(vol.shape, np.float32),
     )
 
     # interrupted run: simulate by running fully, then truncating the state
@@ -46,11 +47,23 @@ def test_resume_produces_identical_output(params, tmp_path):
         logits_out=log_res,
         resume_state_path=state,
     )
-    with open(state) as f:
-        st = json.load(f)
-    # rewind to slab 2 and corrupt everything not yet "finalized"
-    st["next_slab"] = 2
-    st["finalized"] = 32  # z-start of slab 2 (starts 0,8 | 16,24 | 32,...)
+    # a completed run removes the sidecar
+    assert not os.path.exists(state)
+    # simulate an interruption after slab 1: hand-write the sidecar exactly
+    # as the engine would have left it, and corrupt everything not yet
+    # "finalized" (slab starts 0,8 | 16,24 | 32,...)
+    st = {
+        "sig": {
+            "roi": list(ROI),
+            "overlap": cfg.overlap,
+            "tta": cfg.tta,
+            "slab_z_starts": 2,
+            "shape": list(vol.shape),
+            "out_shape": list(vol.shape),
+        },
+        "next_slab": 2,
+        "finalized": 32,
+    }
     with open(state, "w") as f:
         json.dump(st, f)
     log_res[32:] = -1
@@ -79,7 +92,11 @@ def test_resume_with_mismatched_config_restarts(params, tmp_path):
         json.dump({"sig": {"bogus": True}, "next_slab": 2, "finalized": 16}, f)
     cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
     bin_a, log_a = infer_volume_streaming(
-        params, vol, cfg, MODEL_CFG, slab_z_starts=2, resume_state_path=state
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2, resume_state_path=state,
+        logits_out=np.empty(vol.shape, np.float32),
     )
-    bin_b, log_b = infer_volume_streaming(params, vol, cfg, MODEL_CFG, slab_z_starts=2)
+    bin_b, log_b = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+        logits_out=np.empty(vol.shape, np.float32),
+    )
     np.testing.assert_allclose(log_a, log_b, rtol=1e-5)
