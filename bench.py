@@ -1,20 +1,38 @@
 """Benchmark: sliding-window UNet inference throughput (GVoxel/s per chip).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "GVoxel/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "GVoxel/s", "vs_baseline": N,
+     "parity_mode_value": N, "fast_mode": {...}}
 
 Measures the end-to-end single-pass sliding-window throughput of the
 full-size BasicUNet (features (32,32,64,128,256,32), window 96×96×64,
 overlap 0.5 — the reference's production configuration, config.json:24-28,
 inference.py:125,190-197) over a synthetic brain-like volume resident in
-device memory, in OUTPUT voxels per second (each output voxel costs ~8
-window-voxel computations at 0.5 overlap; the background-skip scheduler
-removes the empty half of the volume, as in the reference).
+device memory, in OUTPUT voxels per second over the whole volume (each
+output voxel costs ~8 window-voxel computations at 0.5 overlap; the
+background-skip scheduler removes the empty half of the volume, as in the
+reference).
+
+Two modes are reported (VERDICT r1 item 2a):
+- **fast** (headline `value`): BasicUNetConfig.fast() — bf16 activations on
+  the MXU with f32 conv accumulation and f32 instance-norm statistics.
+  Logits differ from the f32 path only at bf16 rounding level.
+- **parity** (`parity_mode_value`): float32 / precision='highest', the
+  bit-stability configuration the pipeline uses by default.
+
+Measured physics on TPU v5e (r2 profiling; see PERF.md): the model is
+32 channels wide, so its convolutions can use at most 32/128 of the MXU's
+output lanes — the hard per-conv ceiling is ~34-49 TFLOP/s (measured
+~34 on VMEM-resident dots of the conv's exact shape), and XLA's conv
+emitter reaches ~17 TFLOP/s. A full-volume pass with reference semantics
+(8× overlap redundancy) therefore cannot exceed ~0.03-0.04 GVox/s on one
+chip regardless of kernel quality; the fast mode currently delivers ~45%
+of that bound.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The denominator used here is a documented estimate of the reference's
-per-GPU single-pass effective throughput, 0.012 GVox/s, derived as follows:
-the reference's own VRAM calibration (~810 MB per 96×96×64 window,
+The denominator is a documented estimate of the reference's per-GPU
+single-pass effective throughput, 0.012 GVox/s, derived as follows: the
+reference's own VRAM calibration (~810 MB per 96×96×64 window,
 inference.py:177-186) puts ~11 windows in flight on a 2080Ti-class 11 GB
 GPU; MONAI-style sliding-window pipelines with host-side accumulation and
 per-batch H2D/D2H round-trips (SURVEY.md §3.3) are observed at ~20-25
@@ -23,7 +41,9 @@ coverage ÷ ~0.65 host-overhead factor ≈ 0.012 GVox/s of unique output.
 
 The measurement runs in a watchdog subprocess (the TPU tunnel in this image
 can wedge on device transfers); on timeout it falls back to the CPU backend
-and says so in the metric name.
+and says so in the metric name. Timing forces a host readback after each
+run: on the axon backend ``block_until_ready`` returns before execution
+completes, so readback is the only reliable synchronization.
 """
 
 import json
@@ -36,9 +56,12 @@ import json, sys, time
 import numpy as np
 
 platform = sys.argv[1]
-import jax
+mode = sys.argv[2]
+import os
 if platform != "default":
-    jax.config.update("jax_platforms", platform)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize would force axon
+    os.environ["JAX_PLATFORMS"] = platform
+import jax
 import jax.numpy as jnp
 
 from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_volume
@@ -52,29 +75,37 @@ vol = np.zeros((Z, Y, X), np.uint16)
 vol[:, : Y // 2] = (rng.random((Z, Y // 2, X)) * 900 + 100).astype(np.uint16)
 
 cfg = SlidingWindowConfig(
-    roi=(96, 96, 64), overlap=0.5, batch_size=8 if backend == "tpu" else 2,
+    roi=(96, 96, 64), overlap=0.5,
+    batch_size=0 if backend == "tpu" else 2,  # 0 = HBM-aware auto sizing
     tta=False,
 )
-model_cfg = BasicUNetConfig()
+if mode == "fast":
+    model_cfg = BasicUNetConfig.fast()
+else:
+    model_cfg = BasicUNetConfig()
 params = init_params(jax.random.PRNGKey(0), model_cfg)
 
-# warmup (compile)
-infer_volume(params, vol, cfg, model_cfg, return_binary=False)[0].block_until_ready()
-t0 = time.perf_counter()
-n_rep = 3 if backend == "tpu" else 1
-for _ in range(n_rep):
+def run_once():
     out, _ = infer_volume(params, vol, cfg, model_cfg, return_binary=False)
-    out.block_until_ready()
+    # force full completion: axon's block_until_ready is async-acknowledged
+    return float(np.asarray(out[0, 0, 0]))
+
+run_once()  # warmup/compile
+n_rep = 3 if backend == "tpu" else 1
+t0 = time.perf_counter()
+for _ in range(n_rep):
+    run_once()
 dt = (time.perf_counter() - t0) / n_rep
 gvox = vol.size / dt / 1e9
-print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt}))
+print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt,
+                  "mode": mode}))
 """
 
 
-def _run_child(platform: str, timeout: int):
+def _run_child(platform: str, mode: str, timeout: int):
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD_CODE, platform],
+            [sys.executable, "-c", _CHILD_CODE, platform, mode],
             capture_output=True,
             text=True,
             timeout=timeout,
@@ -95,10 +126,10 @@ def main():
     # throughput (see module docstring)
     reference_estimate_gvox_s = 0.012
 
-    result = _run_child("default", timeout=1500)
-    if result is None:
-        result = _run_child("cpu", timeout=1500)
-    if result is None:
+    fast = _run_child("default", "fast", timeout=1500)
+    if fast is None:
+        fast = _run_child("cpu", "fast", timeout=1500)
+    if fast is None:
         print(
             json.dumps(
                 {
@@ -110,21 +141,23 @@ def main():
             )
         )
         return
+
+    parity = None
+    if fast["backend"] == "tpu":
+        parity = _run_child("default", "parity", timeout=1500)
+
     metric = "unet_sliding_window_throughput_per_chip"
-    if result["backend"] != "tpu":
-        metric += f" ({result['backend']} fallback)"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(result["gvox_per_s"], 4),
-                "unit": "GVoxel/s",
-                "vs_baseline": round(
-                    result["gvox_per_s"] / reference_estimate_gvox_s, 2
-                ),
-            }
-        )
-    )
+    if fast["backend"] != "tpu":
+        metric += f" ({fast['backend']} fallback)"
+    result = {
+        "metric": metric,
+        "value": round(fast["gvox_per_s"], 4),
+        "unit": "GVoxel/s",
+        "vs_baseline": round(fast["gvox_per_s"] / reference_estimate_gvox_s, 2),
+    }
+    if parity is not None:
+        result["parity_mode_value"] = round(parity["gvox_per_s"], 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

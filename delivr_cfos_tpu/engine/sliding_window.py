@@ -47,13 +47,47 @@ SKIP_LOGIT = -1000.0  # constant emitted for background windows (reference)
 class SlidingWindowConfig:
     roi: tuple = (96, 96, 64)  # (z, y, x), config.json:24-28
     overlap: float = 0.5  # inference.py:125
-    batch_size: int = 8
+    # 0 = size the window batch from device memory (auto_batch_size), the
+    # TPU analog of the reference's free-VRAM calibration (inference.py:171-187)
+    batch_size: int = 0
     background_threshold: int = 0  # sliding_window_inferer.py:50
     tta: bool = False
     tta_noise_std: float = 1e-3  # sliding_window_inferer.py:215
     threshold: float = 0.5  # sigmoid cutoff, inference.py:120
     erosion_iters: int = 30  # inference.py:84
     seed: int = 0
+
+
+def auto_batch_size(
+    roi,
+    model_cfg: BasicUNetConfig,
+    volume_bytes: int = 0,
+    reserve_fraction: float = 0.5,
+) -> int:
+    """Window batch from device memory, replacing the reference's empirical
+    free-VRAM formula (inference.py:171-187, ~180 MB per 64×64×32 window).
+
+    Live-activation estimate per window: the full-resolution feature maps
+    dominate — about 6 live (roi·f0)-sized tensors during the decoder's
+    first-level TwoConv (skip + deconv out + concat + conv outputs), plus
+    the same again at half resolution ≈ 8 × roi × f0 × dtype bytes.
+    """
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = int(stats.get("bytes_limit", 0)) or 16 * 2**30
+    except Exception:
+        hbm = 16 * 2**30
+    dtype_bytes = 2 if model_cfg.compute_dtype == jnp.bfloat16 else 4
+    roi_vox = int(np.prod(roi))
+    per_window = 8 * roi_vox * model_cfg.features[0] * dtype_bytes
+    budget = int(hbm * (1 - reserve_fraction)) - volume_bytes - 10 * roi_vox
+    n = max(1, budget // per_window)
+    # clamp and round down to a power of two (stable compiled shapes)
+    n = min(int(n), 32)
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
 
 
 # --------------------------------------------------------------------------
@@ -309,15 +343,16 @@ def infer_volume(
 
     image_size = volume.shape
     starts = dense_patch_starts(image_size, roi, cfg.overlap)
+    batch = cfg.batch_size or auto_batch_size(roi, model_cfg, volume.nbytes)
 
     vol_dev = jnp.asarray(volume)
     acc = jnp.zeros(image_size, jnp.float32)
     cnt = jnp.zeros(image_size, jnp.int32)
 
     # --- host-side background scheduling ---------------------------------
-    starts_padded, _ = _pad_to_batches(starts, cfg.batch_size)
+    starts_padded, _ = _pad_to_batches(starts, batch)
     maxes = np.asarray(
-        _window_maxes(vol_dev, jnp.asarray(starts_padded), roi=roi, batch=cfg.batch_size)
+        _window_maxes(vol_dev, jnp.asarray(starts_padded), roi=roi, batch=batch)
     )[: starts.shape[0]]
     active_mask = maxes > cfg.background_threshold
     active = starts[active_mask]
@@ -328,12 +363,12 @@ def infer_volume(
 
     # --- background windows: constant accumulate, weighted by pass count ---
     if skipped.shape[0]:
-        sk_nb, sk_valid_nb = _to_batched(skipped, cfg.batch_size, len(passes))
+        sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
         acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
 
     # --- active windows: one device dispatch per TTA pass ------------------
     if active.shape[0]:
-        act_nb, valid_nb = _to_batched(active, cfg.batch_size)
+        act_nb, valid_nb = _to_batched(active, batch)
         noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
         for use_noise, flip_axis in passes:
             key, sub = jax.random.split(key)

@@ -93,6 +93,9 @@ def infer_volume_streaming(
     passes = _tta_passes(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+    from delivr_cfos_tpu.engine.sliding_window import auto_batch_size
+
+    batch = cfg.batch_size or auto_batch_size(roi, model_cfg)
 
     carry_acc = None  # device arrays carrying the overlap tail
     carry_cnt = None
@@ -158,10 +161,10 @@ def infer_volume_streaming(
             cnt = cnt.at[off : off + carry_cnt.shape[0]].add(carry_cnt)
 
         # host-side background scheduling for this slab
-        starts_padded, _ = _pad_to_batches(starts, cfg.batch_size)
+        starts_padded, _ = _pad_to_batches(starts, batch)
         maxes = np.asarray(
             _window_maxes(
-                slab_dev, jnp.asarray(starts_padded), roi=roi, batch=cfg.batch_size
+                slab_dev, jnp.asarray(starts_padded), roi=roi, batch=batch
             )
         )[: starts.shape[0]]
         active_mask = maxes > cfg.background_threshold
@@ -169,10 +172,10 @@ def infer_volume_streaming(
         skipped = starts[~active_mask]
 
         if skipped.shape[0]:
-            sk_nb, sk_valid_nb = _to_batched(skipped, cfg.batch_size, len(passes))
+            sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
             acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
         if active.shape[0]:
-            act_nb, valid_nb = _to_batched(active, cfg.batch_size)
+            act_nb, valid_nb = _to_batched(active, batch)
             for use_noise, flip_axis in passes:
                 key, sub = jax.random.split(key)
                 acc, cnt = _infer_accumulate_pass(

@@ -52,6 +52,25 @@ class BasicUNetConfig:
     # on TPU (needed for cell-count parity with the reference); set to
     # 'default' to allow bf16 passes on the MXU when benchmarking speed.
     precision: str = "highest"
+    # conv lowering: 'xla3d' = one lax 3D convolution (bit-stable parity
+    # path); 'z2d' = three z-tap 2D convolutions summed — mathematically the
+    # same SAME conv, but measured 1.4× faster on TPU v5e because XLA's 2D
+    # conv emitter keeps im2col patches in VMEM where the 3D emitter spills
+    # (probe: 16.2 → 23.0 TFLOP/s on the 32→32 @96×96×64 layer). Summation
+    # order differs (3 groups of 9 taps), so keep 'xla3d' for parity runs.
+    conv_impl: str = "xla3d"
+
+    @staticmethod
+    def fast(**overrides) -> "BasicUNetConfig":
+        """TPU throughput preset: bf16 activations on the MXU (f32 conv
+        accumulation via preferred_element_type, f32 instance-norm
+        statistics), z-tap 2D conv lowering. ~4× the parity config on v5e;
+        logits differ from the f32 path only at bf16 rounding level."""
+        kw = dict(
+            compute_dtype=jnp.bfloat16, precision="default", conv_impl="z2d"
+        )
+        kw.update(overrides)
+        return BasicUNetConfig(**kw)
 
 
 # --------------------------------------------------------------------------
@@ -71,30 +90,63 @@ def _conv3d(x, w, b):
     return y + b.astype(x.dtype)
 
 
+def _conv3d_z2d(x, w, b):
+    """The same 3×3×3 SAME convolution lowered as three z-tap convolutions
+    with a 1×3×3 kernel, summed. Identical math (modulo fp summation order);
+    the z taps shift via pad+slice so each remaining conv is effectively 2D,
+    which XLA's TPU emitter handles with on-chip patches. Stays 5D NDHWC
+    throughout — a (N·D, H, W, C) reshape variant measured faster in
+    isolation but triggered catastrophic layout copies in the full graph."""
+    n, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    wt = w.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        xs = jax.lax.slice_in_dim(xp, dz, dz + d, axis=1)
+        y = jax.lax.conv_general_dilated(
+            xs,
+            wt[dz : dz + 1],
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        out = y if out is None else out + y
+    return out + b.astype(x.dtype)
+
+
 def _instance_norm(x, scale, bias):
     """Per-sample, per-channel normalization over spatial dims (eval-mode
-    InstanceNorm3d semantics: track_running_stats=False)."""
-    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
-    inv = jax.lax.rsqrt(var + jnp.asarray(_IN_EPS, x.dtype))
-    return (x - mean) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
+    InstanceNorm3d semantics: track_running_stats=False). Statistics are
+    always computed in float32: a 96·96·64 window sums ~590k elements per
+    channel, far beyond bf16 mantissa range."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + _IN_EPS)
+    out = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
+    """x·tanh(softplus(x)), evaluated in f32 (softplus underflows in bf16);
+    XLA fuses the casts into the surrounding elementwise loop."""
+    xf = x.astype(jnp.float32)
+    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
 
 
-def _conv_block(x, p):
+def _conv_block(x, p, config):
     """conv → instance-norm → mish (MONAI Convolution, adn_ordering='NDA',
     dropout inactive at eval)."""
-    x = _conv3d(x, p["w"], p["b"])
+    conv = _conv3d_z2d if config.conv_impl == "z2d" else _conv3d
+    x = conv(x, p["w"], p["b"])
     x = _instance_norm(x, p["scale"], p["bias"])
     return _mish(x)
 
 
-def _two_conv(x, p):
-    x = _conv_block(x, p["conv_0"])
-    return _conv_block(x, p["conv_1"])
+def _two_conv(x, p, config):
+    x = _conv_block(x, p["conv_0"], config)
+    return _conv_block(x, p["conv_1"], config)
 
 
 def _maxpool2(x):
@@ -120,15 +172,15 @@ def _deconv2x(x, w, b):
     o = w.shape[1]
     wm = jnp.transpose(w, (0, 2, 3, 4, 1)).reshape(i, 8 * o)  # (I, dz·dy·dx·O)
     y = jnp.dot(
-        x.reshape(-1, i), wm.astype(x.dtype), preferred_element_type=x.dtype
-    )
+        x.reshape(-1, i), wm.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     y = y.reshape(n, d, h, wd, 2, 2, 2, o)
     # (n, d, 2, h, 2, w, 2, o) → (n, 2d, 2h, 2w, o)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(n, 2 * d, 2 * h, 2 * wd, o)
     return y + b.astype(x.dtype)
 
 
-def _upcat(x, x_skip, p):
+def _upcat(x, x_skip, p, config):
     x0 = _deconv2x(x, p["deconv_w"], p["deconv_b"])
     # MONAI pads the upsampled tensor by one (replicate) on dims where the
     # encoder feature is larger (odd input sizes). Shapes are static in JAX,
@@ -144,7 +196,7 @@ def _upcat(x, x_skip, p):
             mode="edge",
         )
     x = jnp.concatenate([x_skip.astype(x0.dtype), x0], axis=-1)
-    return _two_conv(x, p)
+    return _two_conv(x, p, config)
 
 
 # --------------------------------------------------------------------------
@@ -160,15 +212,15 @@ def basic_unet_apply(params, x, config: BasicUNetConfig = BasicUNetConfig()):
 
 def _apply(params, x, config: BasicUNetConfig):
     x = x.astype(config.compute_dtype)
-    x0 = _two_conv(x, params["conv_0"])
-    x1 = _two_conv(_maxpool2(x0), params["down_1"])
-    x2 = _two_conv(_maxpool2(x1), params["down_2"])
-    x3 = _two_conv(_maxpool2(x2), params["down_3"])
-    x4 = _two_conv(_maxpool2(x3), params["down_4"])
-    u4 = _upcat(x4, x3, params["upcat_4"])
-    u3 = _upcat(u4, x2, params["upcat_3"])
-    u2 = _upcat(u3, x1, params["upcat_2"])
-    u1 = _upcat(u2, x0, params["upcat_1"])
+    x0 = _two_conv(x, params["conv_0"], config)
+    x1 = _two_conv(_maxpool2(x0), params["down_1"], config)
+    x2 = _two_conv(_maxpool2(x1), params["down_2"], config)
+    x3 = _two_conv(_maxpool2(x2), params["down_3"], config)
+    x4 = _two_conv(_maxpool2(x3), params["down_4"], config)
+    u4 = _upcat(x4, x3, params["upcat_4"], config)
+    u3 = _upcat(u4, x2, params["upcat_3"], config)
+    u2 = _upcat(u3, x1, params["upcat_2"], config)
+    u1 = _upcat(u2, x0, params["upcat_1"], config)
     logits = jax.lax.conv_general_dilated(
         u1,
         params["final"]["w"].astype(u1.dtype),
@@ -249,7 +301,9 @@ def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-def infer_model_config(params, compute_dtype=jnp.float32, precision="highest") -> BasicUNetConfig:
+def infer_model_config(
+    params, compute_dtype=jnp.float32, precision="highest", conv_impl="xla3d"
+) -> BasicUNetConfig:
     """Reconstruct the architecture config from a loaded param pytree."""
     features = (
         int(params["conv_0"]["conv_1"]["w"].shape[-1]),
@@ -265,4 +319,5 @@ def infer_model_config(params, compute_dtype=jnp.float32, precision="highest") -
         features=features,
         compute_dtype=compute_dtype,
         precision=precision,
+        conv_impl=conv_impl,
     )

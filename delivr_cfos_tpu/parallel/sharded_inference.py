@@ -190,7 +190,7 @@ def sharded_window_pass(
         roi=roi,
         stride_z=interval[0],
         starts=starts,
-        batch=cfg.batch_size,
+        batch=cfg.batch_size or 8,
         flip_axis=flip_axis,
         use_noise=use_noise,
         noise_std=cfg.tta_noise_std,
