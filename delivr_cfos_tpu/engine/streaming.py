@@ -49,6 +49,8 @@ def infer_volume_streaming(
     sigmoid_out: np.ndarray | None = None,
     out_shape: tuple | None = None,
     resume_state_path: str | None = None,
+    mesh=None,
+    mesh_axis: str = "sp",
 ):
     """Stream a (Z, Y, X) array-like (typically an np.memmap) through the
     sliding-window engine in z-slabs of ``slab_z_starts`` window rows.
@@ -71,6 +73,12 @@ def infer_volume_streaming(
 
     Volume must be at least roi-sized (the pipeline's stage-1 padding
     guarantees this, downsample_and_mask.py:392-397).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each slab's window passes
+    then run z-sharded across the mesh (parallel/sharded_inference.py), so
+    volumes larger than one chip's HBM use every chip: the slab pipeline
+    streams host→mesh, halo exchange rides ICI inside each slab, and only
+    finalized chunks return to the host.
 
     ``resume_state_path``: shard-level resume (SURVEY.md §5.4 — the reference
     only resumes at brain granularity, __main__.py:124-142). A sidecar JSON
@@ -160,38 +168,56 @@ def infer_volume_streaming(
             acc = acc.at[off : off + carry_acc.shape[0]].add(carry_acc)
             cnt = cnt.at[off : off + carry_cnt.shape[0]].add(carry_cnt)
 
-        # host-side background scheduling for this slab
-        starts_padded, _ = _pad_to_batches(starts, batch)
-        maxes = np.asarray(
-            _window_maxes(
-                slab_dev, jnp.asarray(starts_padded), roi=roi, batch=batch
+        if mesh is not None:
+            # mesh-sharded slab passes: the slab's own window grid equals
+            # its rows of the global grid (stride-aligned starts; the final
+            # slab reproduces the clamped start), so sharded_accumulate on
+            # the slab is exactly the single-device slab computation
+            from delivr_cfos_tpu.parallel.sharded_inference import (
+                sharded_accumulate,
             )
-        )[: starts.shape[0]]
-        active_mask = maxes > cfg.background_threshold
-        active = starts[active_mask]
-        skipped = starts[~active_mask]
 
-        if skipped.shape[0]:
-            sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
-            acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
-        if active.shape[0]:
-            act_nb, valid_nb = _to_batched(active, batch)
-            for use_noise, flip_axis in passes:
-                key, sub = jax.random.split(key)
-                acc, cnt = _infer_accumulate_pass(
-                    params,
-                    slab_dev,
-                    acc,
-                    cnt,
-                    act_nb,
-                    valid_nb,
-                    sub,
-                    noise_std,
-                    roi=roi,
-                    flip_axis=flip_axis,
-                    use_noise=use_noise,
-                    model_cfg=model_cfg,
+            key, sub = jax.random.split(key)
+            acc_s, cnt_s = sharded_accumulate(
+                mesh, params, slab, cfg, model_cfg, mesh_axis, key=sub
+            )
+            acc = acc + acc_s
+            cnt = cnt + cnt_s
+        else:
+            # host-side background scheduling for this slab
+            starts_padded, _ = _pad_to_batches(starts, batch)
+            maxes = np.asarray(
+                _window_maxes(
+                    slab_dev, jnp.asarray(starts_padded), roi=roi, batch=batch
                 )
+            )[: starts.shape[0]]
+            active_mask = maxes > cfg.background_threshold
+            active = starts[active_mask]
+            skipped = starts[~active_mask]
+
+            if skipped.shape[0]:
+                sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
+                acc, cnt = _skip_accumulate_pass(
+                    acc, cnt, sk_nb, sk_valid_nb, roi=roi
+                )
+            if active.shape[0]:
+                act_nb, valid_nb = _to_batched(active, batch)
+                for use_noise, flip_axis in passes:
+                    key, sub = jax.random.split(key)
+                    acc, cnt = _infer_accumulate_pass(
+                        params,
+                        slab_dev,
+                        acc,
+                        cnt,
+                        act_nb,
+                        valid_nb,
+                        sub,
+                        noise_std,
+                        roi=roi,
+                        flip_axis=flip_axis,
+                        use_noise=use_noise,
+                        model_cfg=model_cfg,
+                    )
 
         # finalized region: [finalized, next_slab_first_start) — voxels below
         # the next slab's first window start receive no further contributions

@@ -53,3 +53,65 @@ def test_sharded_tta_flips(params):
     sharded = np.asarray(sharded_infer_volume(mesh, params, vol, cfg, MODEL_CFG))
     single, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
     np.testing.assert_allclose(sharded, np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "z,n_sp",
+    [
+        (70, 4),  # clamped final z start, padded slabs
+        (61, 4),  # awkward odd extent
+        (50, 8),  # shallow volume on a wide mesh
+        (70, 2),
+    ],
+)
+def test_sharded_matches_single_device_arbitrary_z(params, z, n_sp):
+    """VERDICT r1 item 6: no Z divisibility requirements — the sharded
+    result must match the single-device engine on the reference's exact
+    (clamped) window grid for any Z."""
+    if len(jax.devices()) < n_sp:
+        pytest.skip("not enough devices")
+    vol = _volume(shape=(z, 32, 32), seed=z)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+    mesh = make_mesh({"sp": n_sp})
+    sharded = np.asarray(sharded_infer_volume(mesh, params, vol, cfg, MODEL_CFG))
+    single, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
+    assert sharded.shape == vol.shape
+    np.testing.assert_allclose(sharded, np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+def test_plan_sharding_halo_and_assignment():
+    from delivr_cfos_tpu.parallel import plan_sharding
+
+    # z=70, roi=16, stride=8, 4 shards → pad to 96, zloc=24
+    z_pad, zloc, halo, shard_starts = plan_sharding(70, 16, 8, 4)
+    assert z_pad == 96 and zloc == 24
+    # global starts: 0..48 step 8 + clamp 54; shard of 54 = 2 (54//24)
+    flat = [k * zloc + s for k, ss in enumerate(shard_starts) for s in ss]
+    assert sorted(flat) == [0, 8, 16, 24, 32, 40, 48, 54]
+    # clamp 54 lands in shard 2 with local 6: overhang 6+16-24 = -2 ≤ halo
+    assert halo >= 16 - 8
+
+
+def test_sharded_streaming_matches_single_device_streaming(params):
+    """Mesh-sharded slab pipeline (engine/streaming.py mesh=) must equal the
+    single-device streaming engine — the >HBM multi-chip path."""
+    from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
+
+    vol = _volume(shape=(70, 32, 32), seed=9)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+    mesh = make_mesh({"sp": 4})
+
+    log_single = np.empty(vol.shape, np.float32)
+    bin_single = np.empty(vol.shape, np.uint8)
+    infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+        binary_out=bin_single, logits_out=log_single,
+    )
+    log_mesh = np.empty(vol.shape, np.float32)
+    bin_mesh = np.empty(vol.shape, np.uint8)
+    infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+        binary_out=bin_mesh, logits_out=log_mesh, mesh=mesh,
+    )
+    np.testing.assert_allclose(log_mesh, log_single, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(bin_mesh, bin_single)
