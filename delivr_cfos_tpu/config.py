@@ -100,6 +100,12 @@ class AtlasAlignmentConfig:
     parallel_processing: bool = True
     landmarks_hemisphere: bool = False
     # framework extensions (absent from the reference schema; harmless there):
+    # landmark marker files for the reference's ``-p a`` hemisphere mode
+    # (automate_mBrainaligner.py:40-56): brain-space landmarks and their
+    # atlas-space correspondences (Vaa3D .marker or x,y,z CSV). Used when
+    # landmarks_hemisphere is true.
+    landmarks_file: str = ""
+    atlas_landmarks_file: str = ""
     # 50 µm atlas average-template volume (tif/v3draw/npy, (z, y, x) =
     # (228, 160, 264)) that the in-framework registration aligns against.
     # Empty → geometric-normalization fallback (scale into the atlas box).

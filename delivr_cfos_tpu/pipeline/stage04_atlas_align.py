@@ -101,6 +101,70 @@ def _fallback_affine(fixed_shape) -> np.ndarray:
     return aff
 
 
+def resolve_registration(aa, fixed: np.ndarray):
+    """Pick the registration path from the config (returns
+    (affine, field, mode)):
+
+    1. ``landmarks_hemisphere`` + marker files → landmark least-squares
+       affine (reference ``-p a`` mode, automate_mBrainaligner.py:40-56),
+       NCC-refined when a template is also configured;
+    2. template only → multi-resolution NCC affine (+ optional FFD);
+    3. neither → geometric scale-into-atlas-box fallback (logged loudly).
+    """
+    template = _load_template(aa.template_file)
+    field = None
+
+    use_landmarks = (
+        aa.landmarks_hemisphere
+        and aa.landmarks_file
+        and os.path.exists(aa.landmarks_file)
+        and aa.atlas_landmarks_file
+        and os.path.exists(aa.atlas_landmarks_file)
+    )
+    if aa.landmarks_hemisphere and not use_landmarks:
+        log(
+            "WARNING: landmarks_hemisphere is set but landmarks_file/"
+            "atlas_landmarks_file are missing — falling back to intensity "
+            "registration"
+        )
+
+    if use_landmarks:
+        from delivr_cfos_tpu.registration.landmarks import (
+            read_marker_file,
+            register_affine_landmarks,
+        )
+
+        src = read_marker_file(aa.landmarks_file)
+        dst = read_marker_file(aa.atlas_landmarks_file)
+        affine, ncc = register_affine_landmarks(
+            fixed, template, src, dst, refine=template is not None
+        )
+        mode = "landmarks+ncc" if template is not None else "landmarks"
+        if ncc is not None:
+            log(f"Landmark affine refined to NCC {ncc:.4f}")
+        if template is not None and aa.use_ffd:
+            field, _ = register_bspline(
+                fixed, template, affine, spacing=aa.ffd_spacing
+            )
+    elif template is not None:
+        affine, ncc = register_affine(fixed, template)
+        log(f"Affine NCC {ncc:.4f}")
+        mode = "intensity"
+        if aa.use_ffd:
+            field, _ = register_bspline(
+                fixed, template, affine, spacing=aa.ffd_spacing
+            )
+    else:
+        log(
+            "WARNING: no atlas template configured "
+            "(atlas_alignment.template_file) — using geometric scale fallback; "
+            "region counts will be unregistered."
+        )
+        affine = _fallback_affine(fixed.shape)
+        mode = "fallback"
+    return affine, field, mode
+
+
 def run_registration_and_point_warp(cfg: PipelineConfig, entry_csv: str) -> str:
     aa = cfg.atlas_alignment
     entry_folder = os.path.basename(entry_csv).replace(".csv", "")
@@ -118,23 +182,9 @@ def run_registration_and_point_warp(cfg: PipelineConfig, entry_csv: str) -> str:
     fixed = read_v3draw(v3draw_path).astype(np.float32)
 
     # ---- registration -----------------------------------------------------
-    template = _load_template(aa.template_file)
-    field = None
-    if template is not None:
-        log("Registering", brain, "to atlas template", aa.template_file)
-        affine, ncc = register_affine(fixed, template)
-        log(f"Affine NCC {ncc:.4f}")
-        if aa.use_ffd:
-            field, _ = register_bspline(
-                fixed, template, affine, spacing=aa.ffd_spacing
-            )
-    else:
-        log(
-            "WARNING: no atlas template configured "
-            "(atlas_alignment.template_file) — using geometric scale fallback; "
-            "region counts will be unregistered."
-        )
-        affine = _fallback_affine(fixed.shape)
+    log("Registering", brain)
+    affine, field, reg_mode = resolve_registration(aa, fixed)
+    log("Registration mode:", reg_mode)
 
     np.savez(
         os.path.join(output_dir, "transform.npz"),

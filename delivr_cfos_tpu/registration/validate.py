@@ -1,0 +1,158 @@
+"""Registration acceptance harness (VERDICT r1 item 5; SURVEY.md §7 calls
+registration "the hardest correctness risk in the project").
+
+The reference validates registration against published per-stage demo
+intermediates (reference README.md:40-41) — not available offline — so the
+framework carries its own acceptance protocol: synthesize a labeled
+atlas-like volume, deform it through a KNOWN ground-truth transform,
+register back, and score
+
+- **point-warp error**: |T_est(p) − T_true(p)| over brain-interior points;
+- **per-region count F1**: cells assigned to regions through T_est vs
+  T_true — the metric that actually decides whether downstream region
+  tables are right (SURVEY.md §7 step 6 acceptance criterion).
+
+Used by tests/test_registration_acceptance.py and runnable standalone for
+tuning registration hyperparameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.registration.warp import (
+    affine_apply,
+    fixed_grid,
+    sample_volume,
+)
+
+
+def make_synthetic_atlas(
+    shape=(64, 48, 72), n_regions: int = 12, seed: int = 0
+):
+    """Brain-like moving volume: an ellipsoidal "brain" of Voronoi regions
+    with distinct intensities plus smooth shading. Returns
+    (volume float32, labels int32) — labels 0 = outside."""
+    rng = np.random.default_rng(seed)
+    Z, Y, X = shape
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij"
+    )
+    c = np.array([Z / 2, Y / 2, X / 2])
+    r = np.array([Z / 2.2, Y / 2.2, X / 2.2])
+    inside = (
+        ((zz - c[0]) / r[0]) ** 2
+        + ((yy - c[1]) / r[1]) ** 2
+        + ((xx - c[2]) / r[2]) ** 2
+    ) <= 1.0
+
+    seeds = np.stack(
+        [
+            rng.uniform(0.15 * Z, 0.85 * Z, n_regions),
+            rng.uniform(0.15 * Y, 0.85 * Y, n_regions),
+            rng.uniform(0.15 * X, 0.85 * X, n_regions),
+        ],
+        axis=1,
+    )
+    pts = np.stack([zz, yy, xx], axis=-1).astype(np.float32)
+    d = np.linalg.norm(
+        pts[None] - seeds[:, None, None, None, :].astype(np.float32), axis=-1
+    )
+    labels = (np.argmin(d, axis=0) + 1).astype(np.int32)
+    labels[~inside] = 0
+
+    intensities = rng.uniform(80, 255, n_regions + 1).astype(np.float32)
+    intensities[0] = 0.0
+    vol = intensities[labels]
+    # smooth shading so NCC has gradients inside regions
+    shade = (
+        40 * np.sin(2 * np.pi * zz / Z)
+        + 30 * np.cos(2 * np.pi * yy / Y)
+        + 20 * np.sin(2 * np.pi * xx / X)
+    )
+    vol = np.clip(vol + shade * inside, 0, 400).astype(np.float32)
+    return vol, labels
+
+
+def apply_transform_volume(moving: np.ndarray, fixed_shape, transform_fn):
+    """Pull-back resample: fixed[v] = moving[transform_fn(v)].
+    ``transform_fn`` takes/returns (N, 3) point arrays."""
+    grid = fixed_grid(tuple(fixed_shape))
+    coords = transform_fn(grid.reshape(-1, 3)).reshape(grid.shape)
+    return np.asarray(sample_volume(jnp.asarray(moving, jnp.float32), coords))
+
+
+def sample_brain_points(labels_fixed: np.ndarray, n: int, seed: int = 0):
+    """Random fixed-space points inside the brain (label > 0)."""
+    rng = np.random.default_rng(seed)
+    zz, yy, xx = np.nonzero(labels_fixed > 0)
+    idx = rng.choice(zz.shape[0], size=min(n, zz.shape[0]), replace=False)
+    pts = np.stack([zz[idx], yy[idx], xx[idx]], axis=1).astype(np.float32)
+    return pts + rng.uniform(-0.4, 0.4, pts.shape).astype(np.float32)
+
+
+def lookup_regions(labels_moving: np.ndarray, coords_zyx: np.ndarray):
+    """Nearest-voxel region id per moving-space coordinate (0 outside)."""
+    c = np.rint(np.asarray(coords_zyx)).astype(np.int64)
+    out = np.zeros(c.shape[0], np.int32)
+    ok = np.all((c >= 0) & (c < np.asarray(labels_moving.shape)), axis=1)
+    out[ok] = labels_moving[c[ok, 0], c[ok, 1], c[ok, 2]]
+    return out
+
+
+def region_count_f1(true_regions: np.ndarray, est_regions: np.ndarray) -> float:
+    """Micro-F1 over per-region cell counts (the region-table metric):
+    per region, overlap = min(count_true, count_est);
+    F1 = 2·Σ overlap / (Σ count_true + Σ count_est) over regions > 0."""
+    ids = np.union1d(np.unique(true_regions), np.unique(est_regions))
+    ids = ids[ids > 0]
+    tp = 0
+    n_true = int((true_regions > 0).sum())
+    n_est = int((est_regions > 0).sum())
+    for r in ids:
+        tp += min(int((true_regions == r).sum()), int((est_regions == r).sum()))
+    denom = n_true + n_est
+    return 2.0 * tp / denom if denom else 1.0
+
+
+def acceptance_metrics(
+    transform_est_fn,
+    transform_true_fn,
+    points_fixed: np.ndarray,
+    labels_moving: np.ndarray,
+) -> dict:
+    """Score an estimated fixed→moving transform against ground truth."""
+    est = np.asarray(transform_est_fn(jnp.asarray(points_fixed)))
+    true = np.asarray(transform_true_fn(jnp.asarray(points_fixed)))
+    err = np.linalg.norm(est - true, axis=1)
+    true_regions = lookup_regions(labels_moving, true)
+    est_regions = lookup_regions(labels_moving, est)
+    return {
+        "point_error_mean": float(err.mean()),
+        "point_error_p95": float(np.percentile(err, 95)),
+        "region_count_f1": region_count_f1(true_regions, est_regions),
+        "cell_region_accuracy": float((true_regions == est_regions).mean()),
+    }
+
+
+def affine_transform_fn(affine: np.ndarray):
+    aff = jnp.asarray(affine, jnp.float32)
+
+    def fn(pts):
+        return affine_apply(aff, pts)
+
+    return fn
+
+
+def affine_ffd_transform_fn(affine: np.ndarray, field):
+    aff = jnp.asarray(affine, jnp.float32)
+
+    def fn(pts):
+        out = affine_apply(aff, pts)
+        if field is not None:
+            out = out + field.at_points(pts)
+        return out
+
+    return fn

@@ -1,0 +1,175 @@
+"""Registration acceptance harness (VERDICT r1 item 5): deform a labeled
+synthetic brain through a known affine(+FFD), register back, and assert
+point-warp error and per-region count F1 — the metric that decides whether
+downstream region tables are right."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.registration.affine import register_affine
+from delivr_cfos_tpu.registration.bspline import BSplineField, register_bspline
+from delivr_cfos_tpu.registration.landmarks import (
+    affine_from_landmarks,
+    read_marker_file,
+)
+from delivr_cfos_tpu.registration.validate import (
+    acceptance_metrics,
+    affine_ffd_transform_fn,
+    affine_transform_fn,
+    apply_transform_volume,
+    make_synthetic_atlas,
+    sample_brain_points,
+)
+from delivr_cfos_tpu.registration.warp import affine_apply
+
+
+SHAPE = (48, 40, 56)
+
+
+def _true_affine():
+    """Modest rotation + anisotropic scale + translation (fixed→moving)."""
+    th = 0.12
+    rot = np.array(
+        [
+            [1, 0, 0],
+            [0, np.cos(th), -np.sin(th)],
+            [0, np.sin(th), np.cos(th)],
+        ]
+    )
+    scale = np.diag([1.08, 0.95, 1.05])
+    A = np.zeros((3, 4), np.float32)
+    A[:, :3] = rot @ scale
+    A[:, 3] = [2.0, -1.5, 3.0]
+    return A.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def atlas():
+    return make_synthetic_atlas(SHAPE, n_regions=10, seed=1)
+
+
+def test_affine_registration_acceptance(atlas):
+    moving, labels_moving = atlas
+    A_true = _true_affine()
+    tf_true = affine_transform_fn(A_true)
+    fixed = apply_transform_volume(moving, SHAPE, tf_true)
+    labels_fixed = np.rint(
+        apply_transform_volume(labels_moving.astype(np.float32), SHAPE, tf_true)
+    ).astype(np.int32)
+
+    A_est, ncc = register_affine(fixed, moving)
+    assert ncc > 0.9
+
+    pts = sample_brain_points(labels_fixed, 800, seed=2)
+    m = acceptance_metrics(
+        affine_transform_fn(A_est), tf_true, pts, labels_moving
+    )
+    assert m["point_error_mean"] < 1.0, m
+    assert m["region_count_f1"] > 0.97, m
+
+
+def test_affine_ffd_registration_acceptance(atlas):
+    moving, labels_moving = atlas
+    A_true = _true_affine()
+    # smooth nonlinear ground truth on top of the affine
+    field_true = BSplineField.zeros(SHAPE, spacing=12.0)
+    rng = np.random.default_rng(5)
+    field_true.ctrl = rng.uniform(-1.6, 1.6, field_true.ctrl.shape).astype(
+        np.float32
+    )
+    tf_true = affine_ffd_transform_fn(A_true, field_true)
+    fixed = apply_transform_volume(moving, SHAPE, tf_true)
+    labels_fixed = np.rint(
+        apply_transform_volume(labels_moving.astype(np.float32), SHAPE, tf_true)
+    ).astype(np.int32)
+
+    A_est, _ = register_affine(fixed, moving)
+    field_est, _ = register_bspline(fixed, moving, A_est, spacing=12.0, iters=200)
+
+    pts = sample_brain_points(labels_fixed, 800, seed=3)
+    m_affine = acceptance_metrics(
+        affine_transform_fn(A_est), tf_true, pts, labels_moving
+    )
+    m_ffd = acceptance_metrics(
+        affine_ffd_transform_fn(A_est, field_est), tf_true, pts, labels_moving
+    )
+    # FFD must improve on affine-only and land within ~1.5 voxels
+    assert m_ffd["point_error_mean"] < m_affine["point_error_mean"], (
+        m_ffd,
+        m_affine,
+    )
+    assert m_ffd["point_error_mean"] < 1.5, m_ffd
+    assert m_ffd["region_count_f1"] > 0.93, m_ffd
+
+
+def test_affine_from_landmarks_exact_and_robust():
+    A = _true_affine()
+    rng = np.random.default_rng(0)
+    src = rng.uniform(5, 40, (24, 3)).astype(np.float32)
+    dst = np.asarray(affine_apply(jnp.asarray(A), jnp.asarray(src)))
+    est = affine_from_landmarks(src, dst)
+    np.testing.assert_allclose(est, A, atol=1e-4)
+
+    # corrupt 3 correspondences; trimmed solve must still recover
+    dst_bad = dst.copy()
+    dst_bad[:3] += rng.uniform(15, 30, (3, 3))
+    est_tr = affine_from_landmarks(src, dst_bad, trim_fraction=0.2)
+    np.testing.assert_allclose(est_tr, A, atol=1e-3)
+
+
+def test_read_marker_file_formats(tmp_path):
+    mk = tmp_path / "lm.marker"
+    mk.write_text(
+        "# comment line\n"
+        "##x,y,z,radius,shape,name,comment\n"
+        "10.5, 20.0, 30.25, 1, 1, L1, \n"
+        "4,5,6,1,1,L2,\n"
+    )
+    pts = read_marker_file(str(mk))
+    # .marker is x,y,z 1-based → (z,y,x) 0-based
+    np.testing.assert_allclose(pts[0], [29.25, 19.0, 9.5])
+    np.testing.assert_allclose(pts[1], [5.0, 4.0, 3.0])
+
+    csv = tmp_path / "lm.csv"
+    csv.write_text("z,y,x\n1,2,3\n4,5,6\n")
+    pts = read_marker_file(str(csv))
+    np.testing.assert_allclose(pts[0], [1, 2, 3])
+
+
+def test_stage04_resolves_landmark_mode(tmp_path, atlas):
+    """landmarks_hemisphere + marker files must drive the landmark path
+    (the flag was accepted-and-ignored in round 1)."""
+    from delivr_cfos_tpu.config import AtlasAlignmentConfig
+    from delivr_cfos_tpu.pipeline.stage04_atlas_align import resolve_registration
+
+    moving, labels_moving = atlas
+    A_true = _true_affine()
+    fixed = apply_transform_volume(moving, SHAPE, affine_transform_fn(A_true))
+
+    rng = np.random.default_rng(1)
+    src = rng.uniform(8, 36, (12, 3)).astype(np.float32)
+    dst = np.asarray(affine_apply(jnp.asarray(A_true), jnp.asarray(src)))
+    lf = tmp_path / "brain.csv"
+    af = tmp_path / "atlas.csv"
+    lf.write_text("z,y,x\n" + "\n".join(",".join(map(str, p)) for p in src))
+    af.write_text("z,y,x\n" + "\n".join(",".join(map(str, p)) for p in dst))
+
+    aa = AtlasAlignmentConfig(
+        landmarks_hemisphere=True,
+        landmarks_file=str(lf),
+        atlas_landmarks_file=str(af),
+        template_file="",  # landmark-only: no NCC refinement
+    )
+    affine, field, mode = resolve_registration(aa, fixed)
+    assert mode == "landmarks"
+    assert field is None
+    np.testing.assert_allclose(affine, A_true, atol=1e-3)
+
+    # flag set but files missing → falls back, loudly, to geometric mode
+    aa2 = AtlasAlignmentConfig(landmarks_hemisphere=True)
+    _, _, mode2 = resolve_registration(aa2, fixed)
+    assert mode2 == "fallback"
