@@ -165,8 +165,63 @@ def _accumulate_windows(acc, cnt, starts, contrib, valid, roi):
 @partial(
     jax.jit,
     static_argnames=("roi", "flip_axis", "use_noise", "model_cfg"),
-    donate_argnames=("acc", "cnt"),
 )
+def _forward_windows_pass(
+    params,
+    volume,
+    starts_nb,  # (NB, B, 3)
+    key,
+    noise_std,
+    *,
+    roi,
+    flip_axis,
+    use_noise,
+    model_cfg,
+):
+    """Forward-only scan over window batches: gather → (noise/flip) → UNet.
+    Returns logits (NB, B, *roi) float32.
+
+    Deliberately carries NOTHING large through the scan: a combined
+    model+overlap-add scan measured ~2× slower per step on TPU than the
+    plain forward (the 280 MB acc/cnt carry pins buffers and degrades the
+    conv scheduling — PERF.md), while this forward-only scan runs at plain
+    jit speed. Accumulation happens in `_accumulate_logits_pass`.
+    """
+
+    def scan_body(key, starts):
+        key, sub = jax.random.split(key)
+        windows = _gather_windows(volume, starts, roi).astype(jnp.float32)
+        if use_noise:
+            noise = jax.random.normal(sub, windows.shape, jnp.float32) * noise_std
+            windows = windows + noise
+        x = windows[..., None]  # (B, z, y, x, 1)
+        if flip_axis is not None:
+            x = jnp.flip(x, axis=flip_axis + 1)
+        logits = basic_unet_apply(params, x, model_cfg)
+        if flip_axis is not None:
+            logits = jnp.flip(logits, axis=flip_axis + 1)
+        return key, logits[..., 0].astype(jnp.float32)
+
+    _, logits_nb = jax.lax.scan(scan_body, key, starts_nb)
+    return logits_nb
+
+
+@partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
+def _accumulate_logits_pass(acc, cnt, starts_nb, valid_nb, logits_nb, *, roi):
+    """Overlap-add precomputed window logits into acc/cnt (one dispatch)."""
+
+    def scan_body(carry, inp):
+        acc, cnt = carry
+        starts, valid, contrib = inp
+        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(
+        scan_body, (acc, cnt), (starts_nb, valid_nb, logits_nb)
+    )
+    return acc, cnt
+
+
 def _infer_accumulate_pass(
     params,
     volume,
@@ -182,36 +237,25 @@ def _infer_accumulate_pass(
     use_noise,
     model_cfg,
 ):
-    """One full pass over all active windows as a single device dispatch:
-    ``lax.scan`` over window batches (gather → UNet → overlap-add). One
-    dispatch per pass keeps host↔device latency off the critical path —
-    essential when the device sits behind a high-latency transport.
-
+    """One full pass over all active windows in two device dispatches:
+    a forward-only scan (full conv throughput) and an overlap-add scan.
     ``valid_nb`` masks batch-padding lanes. ``flip_axis`` is a window-space
     spatial axis (0=z, 1=y) or None. ``acc``/``cnt`` are donated: in-place
-    HBM update.
-    """
-
-    def scan_body(carry, inp):
-        acc, cnt, key = carry
-        starts, valid = inp
-        key, sub = jax.random.split(key)
-        windows = _gather_windows(volume, starts, roi).astype(jnp.float32)
-        if use_noise:
-            noise = jax.random.normal(sub, windows.shape, jnp.float32) * noise_std
-            windows = windows + noise
-        x = windows[..., None]  # (B, z, y, x, 1)
-        if flip_axis is not None:
-            x = jnp.flip(x, axis=flip_axis + 1)
-        logits = basic_unet_apply(params, x, model_cfg)
-        if flip_axis is not None:
-            logits = jnp.flip(logits, axis=flip_axis + 1)
-        contrib = logits[..., 0].astype(jnp.float32)  # (B, z, y, x)
-        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
-        return (acc, cnt, key), None
-
-    (acc, cnt, _), _ = jax.lax.scan(scan_body, (acc, cnt, key), (starts_nb, valid_nb))
-    return acc, cnt
+    HBM update."""
+    logits_nb = _forward_windows_pass(
+        params,
+        volume,
+        starts_nb,
+        key,
+        noise_std,
+        roi=roi,
+        flip_axis=flip_axis,
+        use_noise=use_noise,
+        model_cfg=model_cfg,
+    )
+    return _accumulate_logits_pass(
+        acc, cnt, starts_nb, valid_nb, logits_nb, roi=roi
+    )
 
 
 @partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
