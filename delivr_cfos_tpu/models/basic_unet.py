@@ -59,6 +59,10 @@ class BasicUNetConfig:
     # (probe: 16.2 → 23.0 TFLOP/s on the 32→32 @96×96×64 layer). Summation
     # order differs (3 groups of 9 taps), so keep 'xla3d' for parity runs.
     conv_impl: str = "xla3d"
+    # fuse the instance-norm + mish epilogue into the Pallas two-phase
+    # VMEM kernel (ops/pallas/fused_norm_mish.py) instead of XLA's
+    # reduce+elementwise pair. Same math modulo f32 sum order.
+    fused_in_mish: bool = False
 
     @staticmethod
     def fast(**overrides) -> "BasicUNetConfig":
@@ -140,6 +144,15 @@ def _conv_block(x, p, config):
     dropout inactive at eval)."""
     conv = _conv3d_z2d if config.conv_impl == "z2d" else _conv3d
     x = conv(x, p["w"], p["b"])
+    if config.fused_in_mish:
+        from delivr_cfos_tpu.ops.pallas.fused_norm_mish import (
+            instance_norm_mish_pallas,
+        )
+
+        # compiled Mosaic kernel on TPU; interpreter elsewhere (CPU tests)
+        return instance_norm_mish_pallas(
+            x, p["scale"], p["bias"], interpret=jax.default_backend() != "tpu"
+        )
     x = _instance_norm(x, p["scale"], p["bias"])
     return _mish(x)
 
