@@ -10,10 +10,51 @@ reference (the script is out-of-pipeline, SURVEY.md §2.1 P13).
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
 import pandas as pd
+
+# camera presets from the reference's render drivers
+# (2021_preprocess_for_brainrender_v13.py:435-493)
+CAMERAS = {
+    "techpaper_cam_01": {
+        "pos": (2093, 2345, -49727),
+        "viewup": (0, -1, 0),
+        "clippingRange": (33881, 52334),
+        "focalPoint": (6888, 3571, -5717),
+        "distance": 44288,
+    },
+    "cFosCamera_01": {
+        "pos": (-10104, -18549, 28684),
+        "viewup": (0, -1, 0),
+        "clippingRange": (25755, 66938),
+        "focalPoint": (6888, 3571, -5717),
+        "distance": 44288,
+    },
+    "cFos_sagittal": {
+        "pos": (8525, 2656, -49965),
+        "viewup": (0, -1, 0),
+        "clippingRange": (32907, 58823),
+        "focalPoint": (6888, 3571, -5717),
+        "distance": 44288,
+    },
+    "cFos_coronal": {
+        "pos": (-37318, 916, -6157),
+        "viewup": (0, -1, 0),
+        "clippingRange": (29896, 61881),
+        "focalPoint": (6888, 3571, -5717),
+        "distance": 44288,
+    },
+    "cFos_top": {
+        "pos": (2613, -40510, -5917),
+        "viewup": (-1, 0, 0),
+        "clippingRange": (35416, 56124),
+        "focalPoint": (6888, 3571, -5717),
+        "distance": 44288,
+    },
+}
 
 
 def mbrainaligner_atlas_to_ccf_um(cells: pd.DataFrame) -> np.ndarray:
@@ -49,3 +90,88 @@ def export_cells_for_brainrender(
     out = os.path.join(output_dir, f"{mouse_name}_cells_um.npy")
     np.save(out, pts)
     return out
+
+
+def render_screenshot(
+    screenshots_folder: str,
+    cells: np.ndarray,
+    output_name: str,
+    cells_color: str = "red",
+    region_to_extract="HIP",
+    camera: str | dict | None = "cFosCamera_01",
+    radius: float = 15,
+    alpha: float = 0.2,
+):
+    """Reference render driver (2021_preprocess_for_brainrender_v13.py:
+    render_screenshot :180-260): add the region mesh + region-subset cell
+    points to a brainrender Scene, apply a camera preset, screenshot.
+
+    brainrender/vedo are not installed in this image, so without them the
+    full scene specification (points file + regions + camera) is written as
+    JSON next to the screenshots instead — everything a brainrender install
+    needs to reproduce the render; with brainrender importable the render
+    runs directly. Returns the artifact path."""
+    os.makedirs(screenshots_folder, exist_ok=True)
+    cam = CAMERAS.get(camera, camera) if isinstance(camera, str) else camera
+    regions = (
+        region_to_extract
+        if isinstance(region_to_extract, list)
+        else [region_to_extract]
+    )
+    name = "video_" + "_".join(map(str, regions)) + "_" + output_name
+    try:
+        from brainrender import Scene  # noqa: F401  (external, optional)
+        from brainrender.actors import Points  # noqa: F401
+    except ImportError:
+        pts_file = os.path.join(screenshots_folder, name + "_points.npy")
+        np.save(pts_file, np.asarray(cells))
+        spec = {
+            "title": None,
+            "inset": None,
+            "points_file": os.path.basename(pts_file),
+            "regions": [
+                {"acronym": r, "alpha": 0.2} for r in regions
+            ],
+            "points": {"color": cells_color, "alpha": alpha, "radius": radius, "res": 5},
+            "camera": cam,
+            "screenshot_name": name,
+        }
+        spec_file = os.path.join(screenshots_folder, name + "_scene.json")
+        with open(spec_file, "w") as f:
+            json.dump(spec, f, indent=2)
+        return spec_file
+
+    scene = Scene(title=None, screenshots_folder=screenshots_folder, inset=None)
+    pts = np.asarray(cells)
+    for r in regions:
+        region = scene.add_brain_region(r, alpha=0.2)
+        inside = region.mesh.insidePoints(pts).points()
+        scene.add(Points(inside, colors=cells_color, alpha=alpha, res=5, radius=radius))
+    scene.render(camera=cam, interactive=False)
+    shot = scene.screenshot(name=name)
+    scene.close()
+    return shot
+
+
+def render_video(
+    video_folder: str,
+    cells: np.ndarray,
+    output_name: str,
+    cells_color: str = "red",
+    region_to_extract="HIP",
+    camera: str | dict | None = "cFos_sagittal",
+    n_frames: int = 360,
+):
+    """Reference video driver (ref :render_videos, 360° turntable). Without
+    brainrender installed, writes the scene spec JSON with the animation
+    parameters (degrees per frame, fps) for external rendering."""
+    spec_or_shot = render_screenshot(
+        video_folder, cells, output_name, cells_color, region_to_extract, camera
+    )
+    if spec_or_shot.endswith("_scene.json"):
+        with open(spec_or_shot) as f:
+            spec = json.load(f)
+        spec["animation"] = {"type": "turntable", "n_frames": n_frames, "fps": 30}
+        with open(spec_or_shot, "w") as f:
+            json.dump(spec, f, indent=2)
+    return spec_or_shot
