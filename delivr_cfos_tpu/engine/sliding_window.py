@@ -383,13 +383,17 @@ def infer_volume(
             pads[i] = (diff // 2, diff - diff // 2)
             need_pad = True
     if need_pad:
-        volume = np.pad(volume, pads, mode="reflect")
+        pad = jnp.pad if isinstance(volume, jax.Array) else np.pad
+        volume = pad(volume, pads, mode="reflect")
 
     image_size = volume.shape
     starts = dense_patch_starts(image_size, roi, cfg.overlap)
     batch = cfg.batch_size or auto_batch_size(roi, model_cfg, volume.nbytes)
 
-    vol_dev = jnp.asarray(volume)
+    # a jax.Array input is already device-resident — don't re-upload (the
+    # host link may be slow; callers processing one volume repeatedly, like
+    # TTA or the bench, upload once)
+    vol_dev = volume if isinstance(volume, jax.Array) else jnp.asarray(volume)
     acc = jnp.zeros(image_size, jnp.float32)
     cnt = jnp.zeros(image_size, jnp.int32)
 

@@ -68,23 +68,42 @@ def _neighbor_min(lbl: jnp.ndarray, big: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def _label_device_impl(binary: jnp.ndarray):
+    """Min-label propagation with pointer jumping.
+
+    Plain neighbor-min propagation needs O(component diameter) sweeps. Since
+    every label IS the linear index of some foreground voxel, one gather
+    resolves a label to the label currently stored at its root candidate —
+    classic pointer jumping, collapsing chains exponentially
+    (Playne & Hawick-style GPU/TPU CC). Convergence is O(log diameter)
+    outer iterations instead of O(diameter)."""
     shape = binary.shape
     n = int(np.prod(shape))
     big = jnp.int32(n + 1)
     fg = binary > 0
+    fg_flat = fg.ravel()
     init = jnp.where(
         fg,
         jnp.arange(n, dtype=jnp.int32).reshape(shape),
         big,
     )
 
+    def jump(flat):
+        # flat[v] points at a foreground voxel for fg v; background is `big`
+        safe = jnp.clip(flat, 0, n - 1)
+        jumped = flat[safe]
+        return jnp.where(fg_flat, jnp.minimum(flat, jumped), big)
+
     def cond(state):
-        lbl, changed = state
+        _, changed = state
         return changed
 
     def body(state):
         lbl, _ = state
         nxt = jnp.where(fg, jnp.minimum(lbl, _neighbor_min(lbl, big)), big)
+        flat = nxt.ravel()
+        for _ in range(3):
+            flat = jump(flat)
+        nxt = flat.reshape(shape)
         return nxt, jnp.any(nxt != lbl)
 
     lbl, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))

@@ -1,0 +1,120 @@
+"""Multi-chip connected-component labeling: shard-local propagation with
+pointer jumping + cross-shard halo exchange over ICI.
+
+SURVEY.md §7 names "CC labeling across shard boundaries on TPU" as a hard
+part; round 1 realized it only as a host union-find over slab faces. This
+is the device version: the volume is z-sharded over the mesh, every
+foreground voxel starts with its GLOBAL linear index as its label, and
+each round
+
+1. exchanges one boundary z-plane with each neighbor (``ppermute``),
+2. takes the 26-neighborhood min over [halo_lo | slab | halo_hi],
+3. pointer-jumps through shard-LOCAL label references (a label pointing
+   into another shard stays put until that shard's minimum reaches it via
+   the halo),
+4. converges when a ``psum`` of per-shard change flags hits zero.
+
+cFos blobs span a handful of voxels, so components cross at most one
+boundary and rounds ≈ O(log diameter) + O(boundary crossings). The result
+is bit-compatible with the single-device engine after the shared
+canonicalization (labels are global-min linear indices either way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from delivr_cfos_tpu.ops.connected_components import (
+    _canonicalize_raw_labels,
+    _neighbor_min,
+)
+
+
+def _cc_body(binary_local, *, mesh_axis, n_sp, y, x):
+    rank = jax.lax.axis_index(mesh_axis)
+    zloc = binary_local.shape[0]
+    n_local = zloc * y * x
+    n_total = n_sp * n_local
+    big = jnp.int32(n_total + 1)
+    base = rank.astype(jnp.int32) * n_local
+
+    fg = binary_local > 0
+    fg_flat = fg.ravel()
+    local_idx = jnp.arange(n_local, dtype=jnp.int32).reshape(binary_local.shape)
+    init = jnp.where(fg, local_idx + base, big)
+
+    perm_up = [(r, r - 1) for r in range(1, n_sp)]  # send first plane up
+    perm_dn = [(r, r + 1) for r in range(n_sp - 1)]  # send last plane down
+
+    def jump(flat):
+        # resolve labels that point into THIS shard; labels pointing into
+        # other shards are left for the halo exchange to improve
+        loc = flat - base
+        in_range = (loc >= 0) & (loc < n_local)
+        safe = jnp.clip(loc, 0, n_local - 1)
+        jumped = jnp.where(in_range, flat[safe], flat)
+        return jnp.where(fg_flat, jnp.minimum(flat, jumped), big)
+
+    def cond(state):
+        _, changed = state
+        return changed > 0
+
+    def body(state):
+        lbl, _ = state
+        # halo exchange: neighbors' adjacent boundary planes. ppermute
+        # fills rank 0 / n_sp-1 edges with zeros — zeros would win the min,
+        # so substitute `big` at the mesh edges.
+        # shard k's lower edge abuts shard k-1's LAST plane; its upper edge
+        # abuts shard k+1's FIRST plane
+        lo_halo = jax.lax.ppermute(lbl[-1:], mesh_axis, perm_dn)  # from rank-1
+        hi_halo = jax.lax.ppermute(lbl[:1], mesh_axis, perm_up)  # from rank+1
+        lo_halo = jnp.where(rank == 0, big, lo_halo)
+        hi_halo = jnp.where(rank == n_sp - 1, big, hi_halo)
+        ext = jnp.concatenate([lo_halo, lbl, hi_halo], axis=0)
+        nxt = _neighbor_min(ext, big)[1:-1]
+        nxt = jnp.where(fg, jnp.minimum(lbl, nxt), big)
+        flat = nxt.ravel()
+        for _ in range(3):
+            flat = jump(flat)
+        nxt = flat.reshape(lbl.shape)
+        changed = jax.lax.psum(
+            jnp.any(nxt != lbl).astype(jnp.int32), mesh_axis
+        )
+        return nxt, changed
+
+    lbl, _ = jax.lax.while_loop(cond, body, (init, jnp.int32(1)))
+    return jnp.where(fg, lbl, -1)
+
+
+def label_volume_sharded(
+    mesh: Mesh, binary: np.ndarray, mesh_axis: str = "sp"
+):
+    """26-connected labeling of a (Z, Y, X) volume z-sharded over the mesh.
+    Returns (labels int32 canonical 1..N raster order, n) — identical
+    numbering to the host/scipy engine."""
+    n_sp = mesh.shape[mesh_axis]
+    z, y, x = binary.shape
+    z_pad = -(-z // n_sp) * n_sp
+    vol = binary
+    if z_pad > z:
+        vol = np.concatenate(
+            [binary, np.zeros((z_pad - z, y, x), binary.dtype)], axis=0
+        )
+    sharding = NamedSharding(mesh, P(mesh_axis, None, None))
+    vol_dev = jax.device_put(jnp.asarray(vol), sharding)
+
+    from functools import partial
+
+    fn = shard_map(
+        partial(_cc_body, mesh_axis=mesh_axis, n_sp=n_sp, y=y, x=x),
+        mesh=mesh,
+        in_specs=(P(mesh_axis, None, None),),
+        out_specs=P(mesh_axis, None, None),
+    )
+    raw = np.asarray(jax.jit(fn)(vol_dev))[:z]
+    return _canonicalize_raw_labels(raw)

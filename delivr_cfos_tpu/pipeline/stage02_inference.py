@@ -63,7 +63,16 @@ def run_inference(
     # whole-volume-in-HBM vs z-slab streaming, following the reference's
     # LOAD_ALL_RAM semantics (inference.py:240-247) plus a hard size guard:
     # input + f32 accumulator + i32 count ≈ 10 bytes/voxel must fit on device
-    device_bytes = 12 * 2**30
+    # alongside the window batch (HBM limit from the device, like the
+    # reference's free-VRAM query, inference.py:171-176)
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        device_bytes = int(stats.get("bytes_limit", 0)) or 16 * 2**30
+    except Exception:
+        device_bytes = 16 * 2**30
+    device_bytes = int(device_bytes * 0.75)
     whole_volume_ok = cfg.FLAGS.LOAD_ALL_RAM and volume.size * 10 < device_bytes
     log(
         f"Inference for {mouse_name}: padded {volume.shape}, "

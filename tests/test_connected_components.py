@@ -106,3 +106,51 @@ def test_empty_volume():
     assert stats["voxel_counts"].shape == (1,)
     ld, nd = label_volume_device(vol)
     assert nd == 0
+
+
+# --------------------------------------------------------------------------
+# multi-chip CC (parallel/sharded_cc.py)
+# --------------------------------------------------------------------------
+
+
+def _blobs_and_rod(shape=(70, 24, 24), seed=11):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.uint8)
+    for _ in range(40):
+        z, y, x = (rng.integers(0, s) for s in shape)
+        dz, dy, dx = rng.integers(1, 5, 3)
+        vol[z : z + dz, y : y + dy, x : x + dx] = 1
+    vol[:, 12, 12] = 1  # rod crossing every shard boundary
+    return vol
+
+
+@pytest.mark.parametrize("n_sp", [2, 4, 8])
+def test_sharded_cc_matches_host(n_sp):
+    import jax
+    from delivr_cfos_tpu.parallel.mesh import make_mesh
+    from delivr_cfos_tpu.parallel.sharded_cc import label_volume_sharded
+
+    if len(jax.devices()) < n_sp:
+        pytest.skip("not enough devices")
+    vol = _blobs_and_rod()
+    ref_labels, ref_n = label_volume_host(vol)
+    mesh = make_mesh({"sp": n_sp})
+    got_labels, got_n = label_volume_sharded(mesh, vol)
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_labels, ref_labels)
+
+
+def test_sharded_cc_empty_and_full():
+    import jax
+    from delivr_cfos_tpu.parallel.mesh import make_mesh
+    from delivr_cfos_tpu.parallel.sharded_cc import label_volume_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = make_mesh({"sp": 4})
+    empty = np.zeros((17, 8, 8), np.uint8)  # non-divisible z
+    labels, n = label_volume_sharded(mesh, empty)
+    assert n == 0 and labels.max() == 0
+    full = np.ones((17, 8, 8), np.uint8)
+    labels, n = label_volume_sharded(mesh, full)
+    assert n == 1 and (labels == 1).all()
