@@ -81,6 +81,11 @@ class BlobDetectionConfig:
     model_location: str = ""
     output_location: str = ""
     window_dimensions: WindowDimensions = field(default_factory=WindowDimensions)
+    # framework extension: shard each volume's sliding-window passes
+    # z-spatially across this many chips (parallel/sharded_inference.py).
+    # 1 = single chip (reference semantics either way); requires at least
+    # that many JAX devices at runtime.
+    spatial_shards: int = 1
 
 
 @dataclass(frozen=True)

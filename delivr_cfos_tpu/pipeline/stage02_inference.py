@@ -74,6 +74,25 @@ def run_inference(
         device_bytes = 16 * 2**30
     device_bytes = int(device_bytes * 0.75)
     whole_volume_ok = cfg.FLAGS.LOAD_ALL_RAM and volume.size * 10 < device_bytes
+
+    # optional multi-chip spatial sharding (BASELINE config 5: the full
+    # pipeline sharded across chips; replaces the reference's DataParallel
+    # window scatter, inference.py:217-219)
+    mesh = None
+    if bd.spatial_shards > 1:
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev >= bd.spatial_shards:
+            from delivr_cfos_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh({"sp": bd.spatial_shards})
+            log(f"Spatial sharding over {bd.spatial_shards} chips")
+        else:
+            log(
+                f"WARNING: spatial_shards={bd.spatial_shards} but only "
+                f"{n_dev} devices — running single-chip"
+            )
     log(
         f"Inference for {mouse_name}: padded {volume.shape}, "
         f"real ({real_z}, {real_y}, {real_x}), tta={sw_cfg.tta}, "
@@ -102,9 +121,18 @@ def run_inference(
         )
 
     if whole_volume_ok:
-        mean_logits, _ = infer_volume(
-            params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
-        )
+        if mesh is not None:
+            from delivr_cfos_tpu.parallel.sharded_inference import (
+                sharded_infer_volume,
+            )
+
+            mean_logits = sharded_infer_volume(
+                mesh, params, np.asarray(volume), sw_cfg, model_cfg
+            )
+        else:
+            mean_logits, _ = infer_volume(
+                params, np.asarray(volume), sw_cfg, model_cfg, return_binary=False
+            )
         logits_real = mean_logits[:real_z, :real_y, :real_x]
         # binarization over the REAL (unpadded) extent, reference create_nifti_seg
         input_real = jnp.asarray(volume[:real_z, :real_y, :real_x])
@@ -135,6 +163,7 @@ def run_inference(
             sigmoid_out=activated,
             out_shape=(real_z, real_y, real_x),
             resume_state_path=resume_path,
+            mesh=mesh,
         )
 
     if activated is not None:
