@@ -56,6 +56,11 @@ class SlidingWindowConfig:
     threshold: float = 0.5  # sigmoid cutoff, inference.py:120
     erosion_iters: int = 30  # inference.py:84
     seed: int = 0
+    # round scan lengths up to geometric buckets (bounds compile count to
+    # O(log N) at <=33% padded work). Off by default: production slabs have
+    # uniform window counts, so exact lengths compile once and waste nothing
+    # (bucketing measured 12.5% padded work on the bench volume).
+    bucket_scan_lengths: bool = False
 
 
 def auto_batch_size(
@@ -328,13 +333,14 @@ def _bucket_nb(nb: int) -> int:
             return lo
 
 
-def _to_batched(starts: np.ndarray, batch: int, valid_weight: int = 1):
+def _to_batched(starts: np.ndarray, batch: int, valid_weight: int = 1,
+                bucket: bool = False):
     """(N, 3) starts → ((NB, B, 3), (NB, B)) device arrays for the scan
-    passes, with NB rounded up to a bucket (padded batches are fully
-    masked)."""
+    passes; with ``bucket``, NB is rounded up to a geometric bucket (padded
+    batches are fully masked)."""
     padded, valid = _pad_to_batches(starts, batch)
     nb = padded.shape[0] // batch
-    nb_b = _bucket_nb(nb)
+    nb_b = _bucket_nb(nb) if bucket else nb
     if nb_b > nb:
         extra = (nb_b - nb) * batch
         padded = np.concatenate(
@@ -411,12 +417,14 @@ def infer_volume(
 
     # --- background windows: constant accumulate, weighted by pass count ---
     if skipped.shape[0]:
-        sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
+        sk_nb, sk_valid_nb = _to_batched(
+            skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
+        )
         acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
 
     # --- active windows: one device dispatch per TTA pass ------------------
     if active.shape[0]:
-        act_nb, valid_nb = _to_batched(active, batch)
+        act_nb, valid_nb = _to_batched(active, batch, bucket=cfg.bucket_scan_lengths)
         noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
         for use_noise, flip_axis in passes:
             key, sub = jax.random.split(key)

@@ -196,12 +196,16 @@ def infer_volume_streaming(
             skipped = starts[~active_mask]
 
             if skipped.shape[0]:
-                sk_nb, sk_valid_nb = _to_batched(skipped, batch, len(passes))
+                sk_nb, sk_valid_nb = _to_batched(
+                    skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
+                )
                 acc, cnt = _skip_accumulate_pass(
                     acc, cnt, sk_nb, sk_valid_nb, roi=roi
                 )
             if active.shape[0]:
-                act_nb, valid_nb = _to_batched(active, batch)
+                act_nb, valid_nb = _to_batched(
+                    active, batch, bucket=cfg.bucket_scan_lengths
+                )
                 for use_noise, flip_axis in passes:
                     key, sub = jax.random.split(key)
                     acc, cnt = _infer_accumulate_pass(

@@ -29,3 +29,37 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:n]).reshape(sizes)
     return Mesh(dev_array, names)
+
+
+def make_hybrid_mesh(
+    dcn_axis: str = "dp", ici_axis: str = "sp", n_slices: int | None = None
+) -> Mesh:
+    """Multi-slice / multi-host mesh: the DCN-connected axis is OUTERMOST
+    (slow collectives ride the data-center network; fast ones ride ICI).
+
+    The pipeline's layout (SURVEY.md §5.8): per-brain batch parallelism
+    ('dp') maps across slices over DCN — brains are independent, so DCN only
+    carries per-brain scalars — while per-volume spatial sharding ('sp')
+    stays inside a slice on ICI, where the halo exchanges live. Call
+    ``jax.distributed.initialize()`` before this on multi-host deployments.
+
+    Falls back to a flat single-slice mesh when the platform exposes no
+    slice topology (e.g. CPU test meshes).
+    """
+    devices = jax.devices()
+    try:
+        from jax.experimental import mesh_utils
+
+        if n_slices is None:
+            n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        if n_slices > 1:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, len(devices) // n_slices),
+                (n_slices, 1),
+                devices=devices,
+            )
+            return Mesh(dev_array, (dcn_axis, ici_axis))
+    except Exception:
+        pass
+    dev_array = np.asarray(devices).reshape(1, len(devices))
+    return Mesh(dev_array, (dcn_axis, ici_axis))

@@ -76,6 +76,51 @@ def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None):
     return init_state, step
 
 
+def save_checkpoint(ckpt_dir: str, step: int, params, opt_state) -> str:
+    """Orbax training checkpoint (params + optimizer state + step); resumes
+    an interrupted run exactly. The inference-side weight format stays
+    models/convert.py's .npz (use ``export_npz``)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = f"{ckpt_dir}/step_{step:08d}"
+    ckptr.save(
+        path, {"params": params, "opt_state": opt_state, "step": step}
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, init_state):
+    """Restore the latest orbax checkpoint under ``ckpt_dir``; returns
+    (params, opt_state, step) — (fresh init, 0) when none exists."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    params, opt_state = init_state()
+    latest = None
+    if os.path.isdir(ckpt_dir):
+        cands = sorted(
+            d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        )
+        latest = cands[-1] if cands else None
+    if latest is None:
+        return params, opt_state, 0
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": params, "opt_state": opt_state, "step": 0}
+    state = ckptr.restore(f"{ckpt_dir}/{latest}", template)
+    return state["params"], state["opt_state"], int(state["step"])
+
+
+def export_npz(params, path: str) -> str:
+    """Write inference-format weights (models/convert.py .npz)."""
+    from delivr_cfos_tpu.models.convert import save_params_npz
+
+    save_params_npz(path, params)
+    return path
+
+
 def train(
     cfg: TrainConfig,
     batches,
@@ -83,15 +128,29 @@ def train(
     mesh: Mesh | None = None,
     params=None,
     log_every: int = 50,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 500,
 ):
-    """Simple training loop over an (x, y) batch iterator; returns params."""
+    """Training loop over an (x, y) batch iterator; returns params.
+    With ``ckpt_dir``, resumes from the latest orbax checkpoint and saves
+    every ``ckpt_every`` steps (shard-level analog of the pipeline's
+    stage-resume, SURVEY.md §5.4)."""
     init_state, step = make_train_step(cfg, mesh)
-    if params is None:
+    start = 0
+    if ckpt_dir is not None and params is None:
+        params, opt_state, start = restore_checkpoint(ckpt_dir, init_state)
+        if start:
+            print(f"resumed from step {start}", flush=True)
+    elif params is None:
         params, opt_state = init_state()
     else:
         opt_state = make_optimizer(cfg).init(params)
-    for i, (x, y) in zip(range(n_steps), batches):
+    for i, (x, y) in zip(range(start, n_steps), batches):
         params, opt_state, loss = step(params, opt_state, jnp.asarray(x), jnp.asarray(y))
         if log_every and (i % log_every == 0 or i == n_steps - 1):
             print(f"step {i}: loss {float(loss):.4f}", flush=True)
+        if ckpt_dir is not None and (
+            (i + 1) % ckpt_every == 0 or i == n_steps - 1
+        ):
+            save_checkpoint(ckpt_dir, i + 1, params, opt_state)
     return params

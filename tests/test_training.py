@@ -65,3 +65,42 @@ def test_reference_patch_loader():
     assert y.shape == x.shape
     assert set(np.unique(y)) <= {0.0, 1.0}
     assert x.max() > 0
+
+
+def test_checkpoint_save_restore_resume(tmp_path):
+    """Orbax checkpointing: save mid-run, restore exactly, resume."""
+    import numpy as np
+    from delivr_cfos_tpu.training.train import (
+        TrainConfig,
+        make_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from delivr_cfos_tpu.models import BasicUNetConfig
+
+    cfg = TrainConfig(model=BasicUNetConfig(features=(2, 2, 4, 8, 16, 2)))
+    init_state, step = make_train_step(cfg)
+    params, opt_state = init_state()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    y = jnp.asarray((rng.random((1, 16, 16, 16, 1)) > 0.9), jnp.float32)
+    params, opt_state, _ = step(params, opt_state, x, y)
+
+    ckpt = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt, 1, params, opt_state)
+    p2, o2, s = restore_checkpoint(ckpt, init_state)
+    assert s == 1
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state steps identically to the in-memory state
+    pa, _, la = step(params, opt_state, x, y)
+    pb, _, lb = step(p2, o2, x, y)
+    assert float(la) == float(lb)
+
+
+def test_hybrid_mesh_fallback():
+    from delivr_cfos_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh()
+    assert mesh.axis_names == ("dp", "sp")
+    assert mesh.shape["dp"] * mesh.shape["sp"] == len(jax.devices())
