@@ -78,17 +78,23 @@ def trilinear_zoom(volume: jnp.ndarray, out_shape: tuple) -> jnp.ndarray:
     return x
 
 
-def zoom_mask_to(mask: np.ndarray, out_shape: tuple, chunk_z: int = 64) -> np.ndarray:
+def zoom_mask_to(
+    mask: np.ndarray, out_shape: tuple, chunk_z: int = 64, out=None
+) -> np.ndarray:
     """Upsample a small binary (z, y, x) mask to ``out_shape`` in z-chunks on
     device; returns uint8 with scipy-style truncation toward zero (the
     reference zooms into a uint8 memmap, downsample_and_mask.py:296-299).
 
     Chunking maps each output z-slab to the input z-range it interpolates
-    from, so peak device memory is one output slab.
+    from, so peak device memory is one output slab. Pass a disk memmap as
+    ``out`` for full-resolution masks (a hemisphere-scale mask does not fit
+    in RAM — same discipline as the reference's mask_us memmap).
     """
     zi, yi, xi = mask.shape
     zo, yo, xo = out_shape
-    out = np.empty(out_shape, np.uint8)
+    if out is None:
+        out = np.empty(out_shape, np.uint8)
+    assert out.shape == tuple(out_shape)
     mask_f = mask.astype(np.float32)
     z_scale = (zi - 1) / (zo - 1) if zo > 1 else 0.0
     for z0 in range(0, zo, chunk_z):

@@ -152,7 +152,17 @@ def downsample_mask(cfg: PipelineConfig, brain: str) -> None:
         downsampled_mask = (probs255 >= 125).astype(np.uint8)
 
         log("Upsampling mask to raw resolution", raw_shape)
-        mask_us = zoom_mask_to(downsampled_mask, raw_shape)
+        # full-resolution mask lives on disk (reference: mask_us.npy memmap,
+        # downsample_and_mask.py:296-299 — a hemisphere mask >> RAM)
+        mask_us = zoom_mask_to(
+            downsampled_mask,
+            raw_shape,
+            out=open_memmap(
+                os.path.join(results_folder, "mask_us.npy"),
+                shape=raw_shape,
+                dtype=np.uint8,
+            ),
+        )
         # crop the (possibly padded) mask back to the real downsampled grid
         downsampled_mask = downsampled_mask[
             : stack_8bit.shape[0], : stack_8bit.shape[1], : stack_8bit.shape[2]
