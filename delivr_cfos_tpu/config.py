@@ -117,6 +117,9 @@ class AtlasAlignmentConfig:
     template_file: str = ""
     use_ffd: bool = True
     ffd_spacing: float = 16.0
+    # intensity similarity for registration: 'ncc' (linear relation) or
+    # 'mi' (mutual information — cross-modality-robust)
+    similarity: str = "ncc"
 
 
 @dataclass(frozen=True)

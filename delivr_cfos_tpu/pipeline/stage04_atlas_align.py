@@ -144,15 +144,17 @@ def resolve_registration(aa, fixed: np.ndarray):
             log(f"Landmark affine refined to NCC {ncc:.4f}")
         if template is not None and aa.use_ffd:
             field, _ = register_bspline(
-                fixed, template, affine, spacing=aa.ffd_spacing
+                fixed, template, affine, spacing=aa.ffd_spacing,
+                similarity=aa.similarity,
             )
     elif template is not None:
-        affine, ncc = register_affine(fixed, template)
-        log(f"Affine NCC {ncc:.4f}")
-        mode = "intensity"
+        affine, ncc = register_affine(fixed, template, similarity=aa.similarity)
+        log(f"Affine {aa.similarity.upper()} {ncc:.4f}")
+        mode = f"intensity-{aa.similarity}"
         if aa.use_ffd:
             field, _ = register_bspline(
-                fixed, template, affine, spacing=aa.ffd_spacing
+                fixed, template, affine, spacing=aa.ffd_spacing,
+                similarity=aa.similarity,
             )
     else:
         log(

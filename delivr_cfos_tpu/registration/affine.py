@@ -45,16 +45,66 @@ def masked_ncc(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return num / den
 
 
-@partial(jax.jit, static_argnames=("n_steps",), donate_argnames=())
-def _optimize_level(fixed, moving, affine0, lr, n_steps):
+def masked_mi(
+    a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, n_bins: int = 32
+) -> jnp.ndarray:
+    """Differentiable mutual information via soft (Parzen/linear) binning
+    (higher = better). NCC only models LINEAR intensity relationships;
+    brain-autofluorescence ↔ atlas-average-template alignment is
+    cross-modality-ish, which is why mBrainAligner's global stage offers
+    feature/landmark modes. Soft-histogram MI handles any intensity
+    mapping and stays end-to-end differentiable for the Adam optimizer.
+    """
+    wf = w.ravel()
+    wsum = jnp.maximum(jnp.sum(wf), 1e-6)
+
+    def bin_coords(x):
+        x = x.ravel()
+        lo = jnp.min(x)
+        hi = jnp.max(x)
+        u = (x - lo) / jnp.maximum(hi - lo, 1e-6) * (n_bins - 1)
+        i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n_bins - 2)
+        f = u - i.astype(jnp.float32)
+        return i, f
+
+    ia, fa = bin_coords(a)
+    ib, fb = bin_coords(b)
+    # partial-volume joint histogram: each sample splits bilinearly over a
+    # 2×2 bin patch (one scatter-add per corner; gradients flow through the
+    # fractional weights) — O(N) memory, full-resolution friendly
+    joint = jnp.zeros((n_bins * n_bins,), jnp.float32)
+    for da, wa in ((0, 1.0 - fa), (1, fa)):
+        for db, wb in ((0, 1.0 - fb), (1, fb)):
+            joint = joint.at[(ia + da) * n_bins + (ib + db)].add(wa * wb * wf)
+    joint = joint.reshape(n_bins, n_bins) / wsum
+    pa_m = jnp.sum(joint, axis=1)
+    pb_m = jnp.sum(joint, axis=0)
+    eps = 1e-10
+    return jnp.sum(
+        joint * (jnp.log(joint + eps) - jnp.log(pa_m[:, None] * pb_m[None, :] + eps))
+    )
+
+
+def similarity_fn(name: str):
+    """'ncc' (linear intensity relation) or 'mi' (any relation)."""
+    if name == "mi":
+        return masked_mi
+    if name == "ncc":
+        return masked_ncc
+    raise ValueError(f"unknown similarity {name!r} (use 'ncc' or 'mi')")
+
+
+@partial(jax.jit, static_argnames=("n_steps", "similarity"), donate_argnames=())
+def _optimize_level(fixed, moving, affine0, lr, n_steps, similarity="ncc"):
     grid = fixed_grid(fixed.shape)
     fshape = fixed.shape
+    sim = similarity_fn(similarity)
 
     def loss_fn(affine):
         coords = affine_apply(affine, grid)
         warped = sample_volume(moving, coords)
         w = inside_weight(coords, moving.shape)
-        return -masked_ncc(warped, fixed, w)
+        return -sim(warped, fixed, w)
 
     opt = optax.adam(lr)
 
@@ -86,8 +136,9 @@ def register_affine(
     lrs=(0.02, 0.01, 0.004),
     init: np.ndarray | None = None,
     verbose: bool = False,
+    similarity: str = "ncc",
 ):
-    """Returns ((3, 4) affine fixed→moving at full resolution, final NCC).
+    """Returns ((3, 4) affine fixed→moving at full resolution, final score).
 
     The affine parameters are optimized per pyramid level in that level's
     voxel coordinates, then rescaled: if F_l = F/s, M_l = M/s then
@@ -106,7 +157,9 @@ def register_affine(
         m_l = _pyramid(moving, level)
         # move translation into level coords
         aff_l = affine.at[:, 3].set(affine[:, 3] / level)
-        aff_l, losses = _optimize_level(f_l, m_l, aff_l, lr, n_iter)
+        aff_l, losses = _optimize_level(
+            f_l, m_l, aff_l, lr, n_iter, similarity=similarity
+        )
         affine = aff_l.at[:, 3].set(aff_l[:, 3] * level)
         final_ncc = -float(losses[-1])
         if verbose:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from delivr_cfos_tpu.registration.affine import masked_ncc
+from delivr_cfos_tpu.registration.affine import masked_ncc, similarity_fn
 from delivr_cfos_tpu.registration.warp import (
     affine_apply,
     fixed_grid,
@@ -135,17 +135,19 @@ def _bending_energy(ctrl):
     return e
 
 
-@partial(jax.jit, static_argnames=("fixed_shape", "spacing", "n_steps"))
-def _optimize_ffd(fixed, moving, affine, ctrl0, fixed_shape, spacing, lr, lam, n_steps):
+@partial(jax.jit, static_argnames=("fixed_shape", "spacing", "n_steps", "similarity"))
+def _optimize_ffd(fixed, moving, affine, ctrl0, fixed_shape, spacing, lr, lam, n_steps,
+                  similarity="ncc"):
     grid = fixed_grid(fixed_shape)
     base = affine_apply(affine, grid)
+    sim = similarity_fn(similarity)
 
     def loss_fn(ctrl):
         disp = _dense_field(ctrl, fixed_shape, spacing)
         coords = base + disp
         warped = sample_volume(moving, coords)
         w = inside_weight(coords, moving.shape)
-        return -masked_ncc(warped, fixed, w) + lam * _bending_energy(ctrl)
+        return -sim(warped, fixed, w) + lam * _bending_energy(ctrl)
 
     opt = optax.adam(lr)
 
@@ -171,6 +173,7 @@ def register_bspline(
     lr: float = 0.3,
     bending_weight: float = 1e-3,
     verbose: bool = False,
+    similarity: str = "ncc",
 ):
     """Returns (BSplineField, final NCC). ``affine`` is the fixed→moving
     matrix from ``register_affine``; the FFD refines on top of it."""
@@ -185,6 +188,7 @@ def register_bspline(
         lr,
         bending_weight,
         iters,
+        similarity=similarity,
     )
     field.ctrl = np.asarray(ctrl)
     ncc = -float(losses[-1]) + bending_weight * 0  # loss includes reg; report raw-ish

@@ -173,3 +173,54 @@ def test_stage04_resolves_landmark_mode(tmp_path, atlas):
     aa2 = AtlasAlignmentConfig(landmarks_hemisphere=True)
     _, _, mode2 = resolve_registration(aa2, fixed)
     assert mode2 == "fallback"
+
+
+def test_mi_similarity_recovers_cross_modality_affine(atlas):
+    """Nonlinearly remapped intensities (cross-modality analog: brain
+    autofluorescence vs atlas average template): NCC's linear model breaks,
+    mutual information must still recover the affine."""
+    from delivr_cfos_tpu.registration.affine import masked_mi
+
+    moving, labels_moving = atlas
+    A_true = _true_affine()
+    tf_true = affine_transform_fn(A_true)
+    fixed = apply_transform_volume(moving, SHAPE, tf_true)
+    # contrast inversion inside the brain (background stays dark): NCC finds
+    # anti-correlation and actively avoids alignment; MI is indifferent
+    fixed_remapped = np.where(fixed > 1.0, 255.0 - fixed * 0.8, 0.0).astype(
+        np.float32
+    )
+    labels_fixed = np.rint(
+        apply_transform_volume(labels_moving.astype(np.float32), SHAPE, tf_true)
+    ).astype(np.int32)
+
+    # start at level 2: this test volume is tiny (level 4 would offer ~1.7k
+    # samples to a 32² histogram); production 50 µm templates have 150k+
+    # voxels even at level 4
+    A_est, score = register_affine(
+        fixed_remapped, moving, similarity="mi",
+        levels=(2, 1), iters=(400, 200), lrs=(0.01, 0.004),
+    )
+    pts = sample_brain_points(labels_fixed, 500, seed=7)
+    m = acceptance_metrics(
+        affine_transform_fn(A_est), tf_true, pts, labels_moving
+    )
+    assert m["point_error_mean"] < 2.0, m
+    assert m["region_count_f1"] > 0.9, m
+
+
+def test_masked_mi_properties():
+    """MI sanity: identical images score higher than unrelated ones, and a
+    monotone remap preserves the score ranking."""
+    import jax.numpy as jnp
+    from delivr_cfos_tpu.registration.affine import masked_mi
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((16, 16, 16)), jnp.float32)
+    b = jnp.asarray(rng.random((16, 16, 16)), jnp.float32)
+    w = jnp.ones_like(a)
+    self_mi = float(masked_mi(a, a, w))
+    remap_mi = float(masked_mi(a, jnp.sqrt(a), w))
+    cross_mi = float(masked_mi(a, b, w))
+    assert self_mi > cross_mi
+    assert remap_mi > cross_mi
