@@ -60,3 +60,39 @@ def test_export_cells_for_brainrender(tmp_path):
     pts = np.load(out)
     assert pts.shape == (1, 3)
     np.testing.assert_allclose(pts[0], [50 * 25, 30 * 25, 10 * 25])
+
+
+def test_napari_loader_layers(tmp_path):
+    """misc_files/napari_load_delivr_rgb_output_v01.txt parity: three
+    additive RGB layers with the reference scale and a visible scale bar."""
+    import numpy as np
+    from delivr_cfos_tpu.analysis.napari_loader import load_rgb_output
+    from delivr_cfos_tpu.utils.io.tiff import write_tiff
+
+    class _Bar:
+        pass
+
+    class _Viewer:
+        def __init__(self):
+            self.layers = []
+            self.scale_bar = _Bar()
+
+        def add_image(self, img, **kw):
+            self.layers.append((img.shape, kw))
+
+    for z in range(4):
+        for c in range(3):
+            write_tiff(
+                str(tmp_path / f"rgb_C{c:02d}_z{z:04d}.tif"),
+                np.full((6, 5), c, np.uint8),
+            )
+    v = _Viewer()
+    load_rgb_output(v, str(tmp_path))
+    assert len(v.layers) == 3
+    shapes = {s for s, _ in v.layers}
+    assert shapes == {(4, 6, 5)}
+    cmaps = [kw["colormap"] for _, kw in v.layers]
+    assert cmaps == ["red", "green", "blue"]
+    assert all(kw["blending"] == "additive" for _, kw in v.layers)
+    assert all(kw["scale"] == [3.0, 4.75, 4.75] for _, kw in v.layers)
+    assert v.scale_bar.visible and v.scale_bar.length == 1000.0
