@@ -108,3 +108,22 @@ def test_bfloat16_compute_close_to_f32():
     y16 = np.asarray(basic_unet_apply(params, x, cfg16), np.float32)
     # logits agree loosely; sigmoid-threshold decisions agree except near 0
     assert np.abs(y32 - y16).mean() < 0.1
+
+
+def test_deconv_lowerings_equivalent():
+    """conv_transpose lowering == matmul+interleave lowering (same op,
+    different emitters; PERF.md)."""
+    import numpy as np
+    from delivr_cfos_tpu.models.basic_unet import _deconv2x, _deconv2x_matmul
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 6)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((6, 4, 2, 2, 2)) * 0.3).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_deconv2x(x, w, b)),
+        np.asarray(_deconv2x_matmul(x, w, b)),
+        atol=2e-6,
+    )
