@@ -92,10 +92,10 @@ def test_stage02_streaming_mode_matches_hbm_and_bounds_host_memory(
     from delivr_cfos_tpu.pipeline.stage02_inference import run_inference
 
     ROI = (32, 32, 32)  # coarser grid keeps the CPU runtime sane
-    # large enough that the full-volume f32 footprint (14 MB) clearly
+    # large enough that the full-volume f32 footprint (~8 MB) clearly
     # dominates fixed host-side overhead (~4 MB)
-    Z, Y, X = 384, 96, 96  # padded extent
-    rz, ry, rx = 380, 90, 92
+    Z, Y, X = 320, 80, 80  # padded extent
+    rz, ry, rx = 314, 74, 78
     rng = np.random.default_rng(3)
     vol = np.zeros((Z, Y, X), np.uint16)
     vol[:rz, :ry, :rx] = (rng.random((rz, ry, rx)) * 600 + 5).astype(np.uint16)
