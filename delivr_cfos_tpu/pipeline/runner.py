@@ -24,6 +24,17 @@ from delivr_cfos_tpu.utils.logging import StageTimer, log
 
 
 def run_pipeline(cfg: PipelineConfig) -> StageTimer:
+    """Run all enabled stages. Set $DELIVR_TRACE_DIR to capture a
+    jax.profiler trace of the whole run (SURVEY.md §5.1 — the reference
+    only has wall-clock prints; utils/profiling.py makes traces a
+    first-class switch)."""
+    from delivr_cfos_tpu.utils.profiling import trace
+
+    with trace():
+        return _run_pipeline(cfg)
+
+
+def _run_pipeline(cfg: PipelineConfig) -> StageTimer:
     cfg.setup_folders()
     flags = cfg.FLAGS
     n_stages = sum(
