@@ -114,9 +114,15 @@ def _pass_body(
     noise_std,
     background_threshold,
     model_cfg,
+    win_perm=None,
 ):
     """Per-device body (runs under shard_map): one full sliding-window pass
-    over the local slab. Returns local (acc, cnt) of slab extent."""
+    over the local slab. Returns local (acc, cnt) of slab extent.
+
+    ``win_perm``: when the volume was rotated so a non-z axis could be
+    sharded, gathered windows are rotated back to (z, y, x) around the UNet
+    (the model is not transposition-symmetric) and the logits rotated
+    forward again before accumulation. The perms used are self-inverse."""
     zloc = vol_local.shape[0]
     starts_dev = starts_local[0]  # (n_win, 3)
     valid_dev = valid_local[0]  # (n_win,)
@@ -166,12 +172,18 @@ def _pass_body(
         if use_noise:
             key, sub = jax.random.split(key)
             x = x + jax.random.normal(sub, x.shape, jnp.float32) * noise_std
+        if win_perm is not None:
+            x = jnp.transpose(x, (0,) + tuple(1 + a for a in win_perm))
         x = x[..., None]
         if flip_axis is not None:
             x = jnp.flip(x, axis=flip_axis + 1)
         logits = basic_unet_apply(params, x, model_cfg)
         if flip_axis is not None:
             logits = jnp.flip(logits, axis=flip_axis + 1)
+        logits = logits[..., 0]
+        if win_perm is not None:
+            logits = jnp.transpose(logits, (0,) + tuple(1 + a for a in win_perm))
+        logits = logits[..., None]
         contrib = jnp.where(
             active[:, None, None, None],
             logits[..., 0].astype(jnp.float32),
@@ -236,6 +248,7 @@ def _sharded_pass(
     flip_axis,
     use_noise,
     mesh_axis,
+    win_perm=None,
 ):
     body = partial(
         _pass_body,
@@ -249,6 +262,7 @@ def _sharded_pass(
         noise_std=cfg.tta_noise_std,
         background_threshold=cfg.background_threshold,
         model_cfg=model_cfg,
+        win_perm=win_perm,
     )
     spec_v = P(mesh_axis, None, None)
     spec_s = P(mesh_axis, None, None)
@@ -270,6 +284,7 @@ def sharded_accumulate(
     model_cfg: BasicUNetConfig = BasicUNetConfig(),
     mesh_axis: str = "sp",
     key=None,
+    win_perm=None,
 ):
     """All (TTA) passes of an arbitrary-shape (Z, Y, X) volume on the mesh;
     returns raw (acc, cnt) device arrays cropped to the original extent —
@@ -318,6 +333,7 @@ def sharded_accumulate(
             flip_axis,
             use_noise,
             mesh_axis,
+            win_perm,
         )
         acc_total = acc if acc_total is None else acc_total + acc
         cnt_total = cnt if cnt_total is None else cnt_total + cnt
@@ -331,10 +347,34 @@ def sharded_infer_volume(
     cfg: SlidingWindowConfig = SlidingWindowConfig(),
     model_cfg: BasicUNetConfig = BasicUNetConfig(),
     mesh_axis: str = "sp",
+    shard_axis: int = 0,
 ):
     """Full multi-pass (TTA) sharded inference of an arbitrary-shape
     (Z, Y, X) volume; returns mean logits for the ORIGINAL extent as a
-    device array (z-padding used internally is cropped away)."""
+    device array (padding used internally is cropped away).
+
+    ``shard_axis`` picks the spatial dimension to distribute (0=z default;
+    1=y or 2=x for volumes thin in z): the volume and window grid are
+    rotated so the shard axis leads, the z-sharding machinery runs
+    unchanged (the window grid and halo exchange are axis-symmetric), and
+    the result is rotated back. Window contents are untouched — only the
+    partition differs — so the output stays bit-compatible with the
+    single-device engine."""
+    if shard_axis:
+        import dataclasses
+
+        perm = {1: (1, 0, 2), 2: (2, 1, 0)}[shard_axis]
+        inv = perm  # both are self-inverse transpositions
+        roi = tuple(cfg.roi)
+        cfg_t = dataclasses.replace(
+            cfg, roi=(roi[perm[0]], roi[perm[1]], roi[perm[2]])
+        )
+        vol_t = np.ascontiguousarray(np.transpose(volume, perm))
+        acc, cnt = sharded_accumulate(
+            mesh, params, vol_t, cfg_t, model_cfg, mesh_axis, win_perm=perm
+        )
+        mean_t = acc / jnp.maximum(cnt, 1).astype(jnp.float32)
+        return jnp.transpose(mean_t, inv)
     acc, cnt = sharded_accumulate(
         mesh, params, volume, cfg, model_cfg, mesh_axis
     )

@@ -115,3 +115,27 @@ def test_sharded_streaming_matches_single_device_streaming(params):
     )
     np.testing.assert_allclose(log_mesh, log_single, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(bin_mesh, bin_single)
+
+
+@pytest.mark.parametrize("shard_axis", [1, 2])
+def test_sharded_along_y_and_x(params, shard_axis):
+    """shard_axis rotates the partition onto y or x (for volumes thin in z)
+    while windows are un-rotated around the UNet — must equal the
+    single-device engine exactly."""
+    from delivr_cfos_tpu.parallel.sharded_inference import sharded_infer_volume
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(21)
+    vol = np.zeros((24, 70, 40), np.uint16)
+    vol[:, :40, :20] = (rng.random((24, 40, 20)) * 800).astype(np.uint16)
+    cfg = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4, tta=False)
+    mesh = make_mesh({"sp": 4})
+    sharded = np.asarray(
+        sharded_infer_volume(
+            mesh, params, vol, cfg, MODEL_CFG, shard_axis=shard_axis
+        )
+    )
+    single, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
+    assert sharded.shape == vol.shape
+    np.testing.assert_allclose(sharded, np.asarray(single), rtol=1e-4, atol=1e-4)
