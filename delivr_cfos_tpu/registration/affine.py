@@ -128,6 +128,56 @@ def _pyramid(vol: np.ndarray, level: int) -> jnp.ndarray:
     return block_mean_downsample(jnp.asarray(vol), f)
 
 
+def register_affine_multistart(
+    fixed: np.ndarray,
+    moving: np.ndarray,
+    flips=((), (0,), (1,), (2,), (1, 2)),
+    coarse_level: int = 4,
+    coarse_iters: int = 150,
+    **kwargs,
+):
+    """Orientation-robust affine: race several axis-flip initializations at
+    the coarsest pyramid level, then run the full multi-resolution schedule
+    from the winner.
+
+    Gradient descent from the moments init cannot escape a mirrored or
+    grossly rotated acquisition (different scanners mount brains
+    differently); mBrainAligner's global stage covers this with
+    RANSAC/feature matching (reference automate_mBrainaligner.py:29-56
+    ``-p r+f+n``). Each candidate init is the moments affine composed with
+    a flip of the given fixed axes about the volume center.
+
+    Returns ((3, 4) affine, final score, winning flip tuple).
+    """
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+    base = moments_init(fixed, moving)
+    candidates = []
+    for flip in flips:
+        F = np.eye(4)
+        for ax in flip:
+            F[ax, ax] = -1.0
+            F[ax, 3] = fixed.shape[ax] - 1.0
+        init = (np.concatenate([base, [[0, 0, 0, 1]]]) @ F)[:3].astype(
+            np.float32
+        )
+        aff, score = register_affine(
+            fixed,
+            moving,
+            levels=(coarse_level,),
+            iters=(coarse_iters,),
+            lrs=(0.02,),
+            init=init,
+            **{k: v for k, v in kwargs.items() if k == "similarity"},
+        )
+        candidates.append((score, flip, aff))
+    score, flip, aff = max(candidates, key=lambda c: c[0])
+    final_aff, final_score = register_affine(
+        fixed, moving, init=aff, **kwargs
+    )
+    return final_aff, final_score, flip
+
+
 def register_affine(
     fixed: np.ndarray,
     moving: np.ndarray,

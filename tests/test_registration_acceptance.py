@@ -224,3 +224,32 @@ def test_masked_mi_properties():
     cross_mi = float(masked_mi(a, b, w))
     assert self_mi > cross_mi
     assert remap_mi > cross_mi
+
+
+def test_multistart_recovers_mirrored_brain(atlas):
+    """A y-mirrored acquisition defeats plain gradient descent from the
+    moments init; the multi-start flip race must recover it (the role of
+    mBrainAligner's RANSAC/feature global stage)."""
+    from delivr_cfos_tpu.registration.affine import register_affine_multistart
+
+    moving, labels_moving = atlas
+    A_true = _true_affine()
+    # compose a y mirror (about the fixed volume center) into the truth
+    F = np.eye(4)
+    F[1, 1] = -1.0
+    F[1, 3] = SHAPE[1] - 1.0
+    A_m = (np.concatenate([A_true, [[0, 0, 0, 1]]]) @ F)[:3].astype(np.float32)
+    tf_true = affine_transform_fn(A_m)
+    fixed = apply_transform_volume(moving, SHAPE, tf_true)
+    labels_fixed = np.rint(
+        apply_transform_volume(labels_moving.astype(np.float32), SHAPE, tf_true)
+    ).astype(np.int32)
+
+    A_est, score, flip = register_affine_multistart(fixed, moving)
+    assert 1 in flip, f"winner should mirror y, got {flip}"
+    pts = sample_brain_points(labels_fixed, 500, seed=9)
+    m = acceptance_metrics(
+        affine_transform_fn(A_est), tf_true, pts, labels_moving
+    )
+    assert m["point_error_mean"] < 1.5, m
+    assert m["region_count_f1"] > 0.93, m
