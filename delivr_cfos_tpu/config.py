@@ -120,6 +120,10 @@ class AtlasAlignmentConfig:
     # intensity similarity for registration: 'ncc' (linear relation) or
     # 'mi' (mutual information — cross-modality-robust)
     similarity: str = "ncc"
+    # race axis-flip initializations at the coarse level before the full
+    # schedule (recovers mirrored acquisitions, like the reference tool's
+    # RANSAC/feature global stage)
+    multistart: bool = True
 
 
 @dataclass(frozen=True)

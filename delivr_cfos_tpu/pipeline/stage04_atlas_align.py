@@ -148,7 +148,20 @@ def resolve_registration(aa, fixed: np.ndarray):
                 similarity=aa.similarity,
             )
     elif template is not None:
-        affine, ncc = register_affine(fixed, template, similarity=aa.similarity)
+        if aa.multistart:
+            from delivr_cfos_tpu.registration.affine import (
+                register_affine_multistart,
+            )
+
+            affine, ncc, flip = register_affine_multistart(
+                fixed, template, similarity=aa.similarity
+            )
+            if flip:
+                log(f"Multi-start winner flipped axes {flip}")
+        else:
+            affine, ncc = register_affine(
+                fixed, template, similarity=aa.similarity
+            )
         log(f"Affine {aa.similarity.upper()} {ncc:.4f}")
         mode = f"intensity-{aa.similarity}"
         if aa.use_ffd:
