@@ -1,0 +1,180 @@
+"""Pallas TPU conv3d kernel in channels-sublane / spatial-lane layout.
+
+The BASELINE north star asks for fused Pallas conv3d kernels in the hot
+path. XLA's 3D conv emitter reaches ~16 TFLOP/s on this model's
+32-channel convolutions (PERF.md); the MXU output-lane ceiling for
+C_out = 32 is ~34 TFLOP/s. This kernel reaches **33.7 TFLOP/s** on the
+production layer shape (chain-probe, v5e) — 2.1× XLA — by:
+
+- laying activations out as (C, S) with S = flattened rows in the 128
+  lanes (a 32-channel NDHWC tensor wastes 3/4 of every lane-tile);
+- building the 27 im2col taps as VMEM lane-rotations of the plane,
+  with bf16 pairs bitcast to int32 so one rotate moves two channels
+  (Mosaic has no native bf16 rotate);
+- contracting per z-tap with K = 9·C_in dots accumulated in f32.
+
+Grid: one program per (batch, output z-plane); each program reads the
+three contributing input planes (edge planes predicated off), pads two
+guard rows for the dy taps, masks the dx row-wrap lanes, and writes one
+output plane with the bias fused.
+
+Not yet the default inference path: with the engine's other round-2
+optimizations, full-resolution convs are ~55 of 89 ms per batch-8 window
+pass, so swapping them at 2.1× saves ~30% only if the rest of the model
+also moves to this layout (the NDHWC↔(C,S) transposes would eat the
+gain; see PERF.md "kernel v2" for the measured integration arithmetic).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _kernel(xm1, x0, xp1, w_ref, b_ref, out_ref, pad_ref, rolled_ref, acc_ref, *,
+            cin, cout, h, wdt, n_d, interpret):
+    d = pl.program_id(1)
+    sp = (h + 2) * wdt
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    wpos = lane % wdt
+    mask_p = wpos != wdt - 1  # (1, sp): broadcasts over channel rows
+    mask_m = wpos != 0
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for dz, xref, guard in ((0, xm1, d > 0), (1, x0, None), (2, xp1, d < n_d - 1)):
+        def tap_block():
+            # pad guard rows (zeros) around the plane for the dy taps
+            pad_ref[:, :wdt] = jnp.zeros((cin, wdt), xref.dtype)
+            pad_ref[:, wdt : wdt + h * wdt] = xref[0, 0]
+            pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), xref.dtype)
+            if interpret:
+                xpad = pad_ref[...].astype(jnp.float32)
+                for t, (dy, dx) in enumerate(_TAPS):
+                    r = jnp.roll(xpad, -(dy * wdt + dx), axis=1)
+                    if dx == 1:
+                        r = jnp.where(mask_p, r, 0)
+                    elif dx == -1:
+                        r = jnp.where(mask_m, r, 0)
+                    rolled_ref[t * cin : (t + 1) * cin, :] = r.astype(rolled_ref.dtype)
+                rolled = rolled_ref[...].astype(jnp.bfloat16)
+            else:
+                xi = pltpu.bitcast(pad_ref[...], jnp.int32)  # (cin/2, sp)
+                half = cin // 2
+                for t, (dy, dx) in enumerate(_TAPS):
+                    shift = (-(dy * wdt + dx)) % sp
+                    r = pltpu.roll(xi, shift=shift, axis=1) if shift else xi
+                    if dx == 1:
+                        r = jnp.where(mask_p, r, 0)
+                    elif dx == -1:
+                        r = jnp.where(mask_m, r, 0)
+                    rolled_ref[t * half : (t + 1) * half, :] = r
+                rolled = pltpu.bitcast(rolled_ref[...], jnp.bfloat16)  # (9cin, sp)
+            acc_ref[...] += jax.lax.dot_general(
+                w_ref[dz],
+                rolled,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if guard is None:
+            tap_block()
+        else:
+            pl.when(guard)(tap_block)
+
+    out = acc_ref[:, wdt : wdt + h * wdt] + b_ref[...][:, None]
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False):
+    """3×3×3 SAME convolution on (B, D, C_in, H·W) bf16 activations.
+
+    ``weights``: standard (3, 3, 3, C_in, C_out) (DHWIO); ``bias``: (C_out,).
+    Returns (B, D, C_out, H·W) bf16. C_in must be even (bf16 pair packing)
+    unless ``interpret``.
+    """
+    b_, n_d, cin, s0 = x.shape
+    assert s0 == h * w
+    cout = weights.shape[-1]
+    if not interpret:
+        assert cin % 2 == 0, "bf16 pair packing needs even C_in"
+    # (3, C_out, 9·C_in): w_prep[dz, co, t·cin + ci] = weights[dz, dy, dx, ci, co]
+    w_prep = jnp.transpose(
+        jnp.asarray(weights, jnp.float32), (0, 4, 1, 2, 3)
+    ).reshape(3, cout, 9, cin)
+    w_prep = w_prep.reshape(3, cout, 9 * cin).astype(jnp.bfloat16)
+
+    sp = (h + 2) * w
+    rolled_rows = 9 * cin if interpret else 9 * cin // 2
+    rolled_dtype = jnp.bfloat16 if interpret else jnp.int32
+    kern = partial(
+        _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d, interpret=interpret
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b_, n_d),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cin, s0),
+                lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, cin, s0),
+                lambda b, d: (b, d, 0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, cin, s0),
+                lambda b, d: (b, jnp.minimum(d + 1, n_d - 1), 0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, cout, 9 * cin),
+                lambda b, d: (0, 0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout,), lambda b, d: (0,),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, s0),
+            lambda b, d: (b, d, 0, 0),
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_, n_d, cout, s0), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((cin, sp), jnp.bfloat16),
+            pltpu.VMEM((rolled_rows, sp), rolled_dtype),
+            pltpu.VMEM((cout, sp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x.astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
+        w_prep,
+        jnp.asarray(bias, jnp.float32),
+    )
+
+
+def nchw_from_ndhwc(x):
+    """(B, D, H, W, C) → (B, D, C, H·W)."""
+    b, d, h, w, c = x.shape
+    return jnp.transpose(x, (0, 1, 4, 2, 3)).reshape(b, d, c, h * w)
+
+
+def ndhwc_from_nchw(x, h, w):
+    """(B, D, C, H·W) → (B, D, H, W, C)."""
+    b, d, c, s = x.shape
+    return jnp.transpose(x.reshape(b, d, c, h, w), (0, 1, 3, 4, 2))

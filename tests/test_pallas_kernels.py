@@ -72,3 +72,62 @@ def test_fused_in_mish_compiled_on_tpu():
     got = np.asarray(instance_norm_mish_pallas(x, scale, bias, interpret=False))
     ref = np.asarray(_mish(_instance_norm(x, scale, bias)))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout", [(4, 6), (2, 2)])
+def test_conv3d_cs_matches_xla_interpret(cin, cout):
+    """Channels-sublane Pallas conv (ops/pallas/conv3d_cs.py) == lax conv3d
+    SAME, including z-edge predication and dy/dx border masking
+    (interpreter on CPU; the compiled bitcast-roll path is TPU-gated)."""
+    import numpy as np
+    from delivr_cfos_tpu.models.basic_unet import _conv3d
+    from delivr_cfos_tpu.ops.pallas.conv3d_cs import (
+        conv3d_cs,
+        nchw_from_ndhwc,
+        ndhwc_from_nchw,
+    )
+
+    rng = np.random.default_rng(0)
+    B, D, H, W = 2, 5, 6, 8
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, cin)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    ref = _conv3d(x.astype(jnp.bfloat16), w, b)
+    got_cs = conv3d_cs(nchw_from_ndhwc(x), w, b, h=H, w=W, interpret=True)
+    got = ndhwc_from_nchw(got_cs, H, W)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.05
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled bitcast-roll path needs TPU"
+)
+def test_conv3d_cs_compiled_on_tpu():
+    import numpy as np
+    from delivr_cfos_tpu.models.basic_unet import _conv3d
+    from delivr_cfos_tpu.ops.pallas.conv3d_cs import (
+        conv3d_cs,
+        nchw_from_ndhwc,
+        ndhwc_from_nchw,
+    )
+
+    rng = np.random.default_rng(1)
+    B, D, H, W, CIN, COUT = 1, 6, 16, 64, 32, 32
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, CIN)).astype(np.float32) * 0.1)
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, CIN, COUT)) * 0.1).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(COUT).astype(np.float32))
+    ref = np.asarray(_conv3d(x.astype(jnp.bfloat16), w, b), np.float32)
+    got = np.asarray(
+        ndhwc_from_nchw(
+            conv3d_cs(nchw_from_ndhwc(x), w, b, h=H, w=W), H, W
+        ),
+        np.float32,
+    )
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / denom < 2e-2
