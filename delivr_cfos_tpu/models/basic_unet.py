@@ -66,14 +66,18 @@ class BasicUNetConfig:
 
     @staticmethod
     def fast(**overrides) -> "BasicUNetConfig":
-        """TPU throughput preset: bf16 activations on the MXU (f32 conv
-        accumulation via preferred_element_type, f32 instance-norm
-        statistics), z-tap 2D conv lowering. ~4× the parity config on v5e;
-        logits differ from the f32 path only at bf16 rounding level."""
-        # conv_impl: with the conv_transpose deconv lowering, plain 'xla3d'
-        # measures 8% faster in-model than the 'z2d' z-tap variant
-        # (89 vs 97 ms/batch-8 on v5e; PERF.md)
-        kw = dict(compute_dtype=jnp.bfloat16, precision="default")
+        """TPU throughput preset: bf16 activations with f32 conv
+        accumulation and f32 instance-norm statistics, on the
+        channels-sublane Pallas conv path ('pallas_cs': 50 vs 91 ms per
+        batch-8 window pass against the NDHWC XLA path on v5e — PERF.md;
+        falls back to NDHWC automatically for non-16-divisible shapes).
+        ~10× the parity config; logits differ from the f32 path only at
+        bf16 accumulation-order level."""
+        kw = dict(
+            compute_dtype=jnp.bfloat16,
+            precision="default",
+            conv_impl="pallas_cs",
+        )
         kw.update(overrides)
         return BasicUNetConfig(**kw)
 
@@ -240,6 +244,13 @@ def _upcat(x, x_skip, p, config):
 def basic_unet_apply(params, x, config: BasicUNetConfig = BasicUNetConfig()):
     """Forward pass. ``x``: (N, D, H, W, C_in) → logits (N, D, H, W, C_out)."""
     with jax.default_matmul_precision(config.precision):
+        if config.conv_impl == "pallas_cs":
+            if all(s % 16 == 0 for s in x.shape[1:4]):
+                from delivr_cfos_tpu.models.basic_unet_cs import apply_cs
+
+                return apply_cs(params, x, config)
+            # CS path needs 16-divisible dims (4 pool levels); fall back
+            return _apply(params, x, config)
         return _apply(params, x, config)
 
 

@@ -131,3 +131,30 @@ def test_conv3d_cs_compiled_on_tpu():
     )
     denom = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / denom < 2e-2
+
+
+def test_pallas_cs_model_path_matches_fast():
+    """conv_impl='pallas_cs': the (B, D, C, S)-native forward (Pallas convs
+    at big planes, CS-layout IN/pool/deconv/skip everywhere) matches the
+    NDHWC fast path at bf16-accumulation tolerance."""
+    import numpy as np
+    from delivr_cfos_tpu.models.basic_unet import (
+        BasicUNetConfig,
+        basic_unet_apply,
+        init_params,
+    )
+
+    feats = (4, 4, 8, 16, 32, 4)
+    params = init_params(jax.random.PRNGKey(0), BasicUNetConfig(features=feats))
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 16, 32, 32, 1)), jnp.float32
+    )
+    ref = basic_unet_apply(params, x, BasicUNetConfig.fast(features=feats))
+    cs = basic_unet_apply(
+        params, x, BasicUNetConfig.fast(features=feats, conv_impl="pallas_cs")
+    )
+    diff = np.abs(
+        np.asarray(ref, np.float32) - np.asarray(cs, np.float32)
+    )
+    scale = np.abs(np.asarray(ref, np.float32)).mean() + 1e-3
+    assert diff.max() / scale < 0.5, (diff.max(), scale)
