@@ -1,4 +1,14 @@
-from delivr_cfos_tpu.registration.affine import register_affine
+from delivr_cfos_tpu.registration.affine import (
+    masked_mi,
+    masked_ncc,
+    register_affine,
+    register_affine_multistart,
+)
+from delivr_cfos_tpu.registration.landmarks import (
+    affine_from_landmarks,
+    read_marker_file,
+    register_affine_landmarks,
+)
 from delivr_cfos_tpu.registration.bspline import (
     BSplineField,
     register_bspline,
@@ -13,6 +23,12 @@ from delivr_cfos_tpu.registration.warp import (
 
 __all__ = [
     "register_affine",
+    "register_affine_multistart",
+    "register_affine_landmarks",
+    "affine_from_landmarks",
+    "read_marker_file",
+    "masked_ncc",
+    "masked_mi",
     "register_bspline",
     "warp_points",
     "BSplineField",
