@@ -22,12 +22,13 @@ Two modes are reported (VERDICT r1 item 2a):
 
 Measured physics on TPU v5e (r2 profiling; see PERF.md): the model is
 32 channels wide, so its convolutions can use at most 32/128 of the MXU's
-output lanes — the hard per-conv ceiling is ~34-49 TFLOP/s (measured
-~34 on VMEM-resident dots of the conv's exact shape), and XLA's conv
-emitter reaches ~17 TFLOP/s. A full-volume pass with reference semantics
-(8× overlap redundancy) therefore cannot exceed ~0.03-0.04 GVox/s on one
-chip regardless of kernel quality; the fast mode currently delivers ~45%
-of that bound.
+output lanes — the hard per-conv ceiling is ~34 TFLOP/s (measured on
+VMEM-resident dots of the conv's exact shape). A full-volume pass with
+reference semantics (8× overlap redundancy) therefore cannot exceed
+~0.03-0.04 GVox/s on one chip regardless of kernel quality. The fast mode
+runs the custom channels-sublane Pallas conv kernel at 33.7 TFLOP/s (AT
+that ceiling; 2.1× XLA's emitter) and measures 0.0283 GVox/s — ~80% of
+the absolute bound.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 The denominator is a documented estimate of the reference's per-GPU
@@ -80,7 +81,13 @@ cfg = SlidingWindowConfig(
     tta=False,
 )
 if mode == "fast":
-    model_cfg = BasicUNetConfig.fast()
+    # the Pallas conv path is TPU-compiled; off-TPU it would run in the
+    # (slow) interpreter, so the CPU fallback measures the XLA lowering
+    model_cfg = (
+        BasicUNetConfig.fast()
+        if backend == "tpu"
+        else BasicUNetConfig.fast(conv_impl="xla3d")
+    )
 else:
     model_cfg = BasicUNetConfig()
 params = init_params(jax.random.PRNGKey(0), model_cfg)

@@ -104,3 +104,16 @@ def test_hybrid_mesh_fallback():
     mesh = make_hybrid_mesh()
     assert mesh.axis_names == ("dp", "sp")
     assert mesh.shape["dp"] * mesh.shape["sp"] == len(jax.devices())
+
+
+def test_hybrid_mesh_two_slices():
+    """Forced two-slice layout on the virtual devices: DCN axis outermost."""
+    from delivr_cfos_tpu.parallel.mesh import make_hybrid_mesh
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_hybrid_mesh(n_slices=2)
+    assert mesh.axis_names == ("dp", "sp")
+    # create_hybrid_device_mesh may be unavailable for CPU topologies; the
+    # helper must still return a usable (dp, sp) mesh either way
+    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
