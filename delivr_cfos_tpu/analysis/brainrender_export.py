@@ -164,14 +164,42 @@ def render_video(
 ):
     """Reference video driver (ref :render_videos, 360° turntable). Without
     brainrender installed, writes the scene spec JSON with the animation
-    parameters (degrees per frame, fps) for external rendering."""
-    spec_or_shot = render_screenshot(
-        video_folder, cells, output_name, cells_color, region_to_extract, camera
-    )
-    if spec_or_shot.endswith("_scene.json"):
+    parameters (degrees per frame, fps) for external rendering; with
+    brainrender importable, builds the scene and renders an actual
+    turntable — one frame per degree step over ``n_frames`` — via
+    vedo's offscreen plotter."""
+    try:
+        from brainrender import Scene
+        from brainrender.actors import Points
+    except ImportError:
+        spec_or_shot = render_screenshot(
+            video_folder, cells, output_name, cells_color, region_to_extract, camera
+        )
         with open(spec_or_shot) as f:
             spec = json.load(f)
         spec["animation"] = {"type": "turntable", "n_frames": n_frames, "fps": 30}
         with open(spec_or_shot, "w") as f:
             json.dump(spec, f, indent=2)
-    return spec_or_shot
+        return spec_or_shot
+
+    os.makedirs(video_folder, exist_ok=True)
+    cam = CAMERAS.get(camera, camera) if isinstance(camera, str) else camera
+    regions = (
+        region_to_extract
+        if isinstance(region_to_extract, list)
+        else [region_to_extract]
+    )
+    name = "video_" + "_".join(map(str, regions)) + "_" + output_name
+    scene = Scene(title=None, screenshots_folder=video_folder, inset=None)
+    pts = np.asarray(cells)
+    for r in regions:
+        region = scene.add_brain_region(r, alpha=0.2)
+        inside = region.mesh.insidePoints(pts).points()
+        scene.add(Points(inside, colors=cells_color, alpha=0.2, res=5, radius=15))
+    scene.render(camera=cam, interactive=False)
+    frames = []
+    for i in range(n_frames):
+        scene.plotter.camera.Azimuth(360.0 / n_frames)
+        frames.append(scene.screenshot(name=f"{name}_f{i:04d}"))
+    scene.close()
+    return frames[-1] if frames else name

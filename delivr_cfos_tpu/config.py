@@ -86,6 +86,16 @@ class BlobDetectionConfig:
     # 1 = single chip (reference semantics either way); requires at least
     # that many JAX devices at runtime.
     spatial_shards: int = 1
+    # framework extension — numerical mode of the UNet forward (the
+    # reference exposes its perf controls in config too, config.json:24-28):
+    #   'parity' — float32 activations, precision='highest' convs: the
+    #              bit-stability configuration;
+    #   'fast'   — bf16 activations with f32 conv accumulation and f32
+    #              instance-norm statistics on the channels-sublane Pallas
+    #              conv path (~7× the parity throughput on TPU v5e; cell
+    #              counts agree with parity — tests/test_fast_parity.py);
+    #   'auto'   — 'fast' on TPU, 'parity' elsewhere (default).
+    precision: str = "auto"
 
 
 @dataclass(frozen=True)

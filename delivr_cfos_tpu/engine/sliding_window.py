@@ -85,7 +85,11 @@ def auto_batch_size(
     dtype_bytes = 2 if model_cfg.compute_dtype == jnp.bfloat16 else 4
     roi_vox = int(np.prod(roi))
     per_window = 8 * roi_vox * model_cfg.features[0] * dtype_bytes
-    budget = int(hbm * (1 - reserve_fraction)) - volume_bytes - 10 * roi_vox
+    # resident alongside the window batch: the uint16 input (volume_bytes)
+    # plus the f32 accumulator and i32 count map at 8 B per volume voxel
+    # (= 4 × the 2 B/voxel input), plus the bounded staged-logits chunk
+    resident = 5 * volume_bytes + min(hbm // 8, 2 * 2**30)
+    budget = int(hbm * (1 - reserve_fraction)) - resident
     n = max(1, budget // per_window)
     # clamp and round down to a power of two (stable compiled shapes)
     n = min(int(n), 32)
@@ -227,6 +231,25 @@ def _accumulate_logits_pass(acc, cnt, starts_nb, valid_nb, logits_nb, *, roi):
     return acc, cnt
 
 
+def _forward_chunk_batches(roi, batch: int, budget_bytes: int = 0) -> int:
+    """Bound on window batches whose f32 logits may be materialized at once
+    by the forward/accumulate dispatch split. The split exists because a
+    combined model+overlap-add scan measured ~2× slower (PERF.md), but an
+    unbounded split would stage (N_windows, *roi) f32 in HBM — up to
+    8·overlap·4 bytes per active voxel, far beyond the 10 B/voxel the
+    whole-volume guard budgets. Default budget: 1/8 of device memory,
+    capped at 2 GB."""
+    if budget_bytes <= 0:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = int(stats.get("bytes_limit", 0)) or 16 * 2**30
+        except Exception:
+            hbm = 16 * 2**30
+        budget_bytes = min(hbm // 8, 2 * 2**30)
+    per_batch = batch * int(np.prod(roi)) * 4
+    return max(1, budget_bytes // per_batch)
+
+
 def _infer_accumulate_pass(
     params,
     volume,
@@ -242,25 +265,34 @@ def _infer_accumulate_pass(
     use_noise,
     model_cfg,
 ):
-    """One full pass over all active windows in two device dispatches:
-    a forward-only scan (full conv throughput) and an overlap-add scan.
+    """One full pass over all active windows, chunked into pairs of device
+    dispatches: a forward-only scan (full conv throughput) and an
+    overlap-add scan per chunk. The chunk bound keeps the staged f32 logits
+    ≤ `_forward_chunk_batches` batches, so peak HBM stays within the
+    whole-volume guard's budget even for mostly-active volumes.
     ``valid_nb`` masks batch-padding lanes. ``flip_axis`` is a window-space
     spatial axis (0=z, 1=y) or None. ``acc``/``cnt`` are donated: in-place
     HBM update."""
-    logits_nb = _forward_windows_pass(
-        params,
-        volume,
-        starts_nb,
-        key,
-        noise_std,
-        roi=roi,
-        flip_axis=flip_axis,
-        use_noise=use_noise,
-        model_cfg=model_cfg,
-    )
-    return _accumulate_logits_pass(
-        acc, cnt, starts_nb, valid_nb, logits_nb, roi=roi
-    )
+    nb = starts_nb.shape[0]
+    chunk = _forward_chunk_batches(roi, starts_nb.shape[1])
+    for lo in range(0, nb, chunk):
+        hi = min(lo + chunk, nb)
+        key, sub = jax.random.split(key)
+        logits_nb = _forward_windows_pass(
+            params,
+            volume,
+            starts_nb[lo:hi],
+            sub,
+            noise_std,
+            roi=roi,
+            flip_axis=flip_axis,
+            use_noise=use_noise,
+            model_cfg=model_cfg,
+        )
+        acc, cnt = _accumulate_logits_pass(
+            acc, cnt, starts_nb[lo:hi], valid_nb[lo:hi], logits_nb, roi=roi
+        )
+    return acc, cnt
 
 
 @partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))

@@ -200,24 +200,84 @@ def _forest_eval(feats2d, feature, threshold, leaf, *, max_depth):
     return acc / n_trees
 
 
-def predict_probabilities(stack: np.ndarray, model: dict, chunk_z: int = 32) -> np.ndarray:
-    """(Z, Y, X) 8-bit stack → float32 foreground probability (Z, Y, X)."""
+@partial(jax.jit, static_argnames=("max_steps",))
+def _forest_eval_pointer(feats2d, feature, threshold, left, right, value,
+                         *, max_steps):
+    """Pointer-layout forest (imported Ilastik/sklearn trees — arbitrary
+    topology, leaves self-loop): feats2d (P, F) → probability (P,).
+    Convention: go right iff feature value >= threshold."""
+    n_trees = feature.shape[0]
+    p = feats2d.shape[0]
+
+    def eval_tree(t, acc):
+        node = jnp.zeros((p,), jnp.int32)
+
+        def step(_, node):
+            f = feature[t][node]
+            th = threshold[t][node]
+            val = jnp.take_along_axis(
+                feats2d, jnp.maximum(f, 0)[:, None], axis=1
+            )[:, 0]
+            go_right = val >= th
+            nxt = jnp.where(go_right, right[t][node], left[t][node])
+            return jnp.where(f < 0, node, nxt)
+
+        node = jax.lax.fori_loop(0, max_steps, step, node)
+        return acc + value[t][node]
+
+    acc = jax.lax.fori_loop(0, n_trees, eval_tree, jnp.zeros((p,), jnp.float32))
+    return acc / n_trees
+
+
+def _model_features(stack_chunk, model: dict):
+    """Feature stack for a z-chunk, honoring the model's feature definition
+    (trained-in-framework sigma bank, or an imported .ilp feature spec)."""
+    if "feature_spec" in model:
+        import json
+
+        from delivr_cfos_tpu.ops.features import ilastik_feature_bank
+
+        raw = model["feature_spec"]
+        raw = bytes(raw) if not isinstance(raw, bytes) else raw
+        spec = tuple((fid, float(s)) for fid, s in json.loads(raw.decode()))
+        return ilastik_feature_bank(jnp.asarray(stack_chunk), spec)
     sigmas = tuple(float(s) for s in model["sigmas"])
+    return feature_bank(jnp.asarray(stack_chunk), sigmas)
+
+
+def predict_probabilities(stack: np.ndarray, model: dict, chunk_z: int = 32) -> np.ndarray:
+    """(Z, Y, X) 8-bit stack → float32 foreground probability (Z, Y, X).
+
+    Accepts both model layouts: the framework's oblivious perfect-tree
+    forest (.npz from fit_pixel_classifier) and the pointer-tree forest
+    imported from an Ilastik .ilp (models/ilastik_import.py)."""
+    pointer = "left" in model
     max_depth = int(model["max_depth"])
     feature = jnp.asarray(model["feature"])
     threshold = jnp.asarray(model["threshold"])
-    leaf = jnp.asarray(model["leaf"])
+    if pointer:
+        left = jnp.asarray(model["left"])
+        right = jnp.asarray(model["right"])
+        value = jnp.asarray(model["value"])
+    else:
+        leaf = jnp.asarray(model["leaf"])
     out = np.empty(stack.shape, np.float32)
     pad = 16  # feature-bank halo so chunk borders match the global filters
     for z0 in range(0, stack.shape[0], chunk_z):
         z1 = min(z0 + chunk_z, stack.shape[0])
         s0, s1 = max(z0 - pad, 0), min(z1 + pad, stack.shape[0])
-        feats = feature_bank(jnp.asarray(stack[s0:s1]), sigmas)
+        feats = _model_features(stack[s0:s1], model)
         feats = feats[z0 - s0 : z1 - s0]
         flat = feats.reshape(-1, feats.shape[-1])
-        probs = _forest_eval(
-            flat, feature, threshold, leaf, max_depth=max_depth
-        )
+        if pointer:
+            probs = _forest_eval_pointer(
+                flat, feature, threshold, left, right, value,
+                max_steps=max_depth,
+            )
+        else:
+            probs = _forest_eval(
+                flat, feature, threshold, leaf, max_depth=max_depth
+            )
         out[z0:z1] = np.asarray(probs).reshape(z1 - z0, *stack.shape[1:])
     return out
 
@@ -246,9 +306,16 @@ def predict_mask_probabilities(stack_8bit: np.ndarray, model_path: str) -> np.nd
     """uint8 0..255 probabilities for the stage-1 mask (binarized ≥ 125
     downstream, reference: downsample_and_mask.py:268-269).
 
-    Uses the trained forest at ``model_path`` (.npz) when present; otherwise
-    an Otsu-threshold fallback so unconfigured runs still produce a brain
-    mask."""
+    Uses the trained forest at ``model_path`` when present — either the
+    framework's .npz or an Ilastik .ilp project imported on the fly
+    (models/ilastik_import.py, the reference's own model format,
+    config.json:6); otherwise an Otsu-threshold fallback so unconfigured
+    runs still produce a brain mask."""
+    if model_path and os.path.exists(model_path) and model_path.endswith(".ilp"):
+        from delivr_cfos_tpu.models.ilastik_import import load_ilp
+
+        probs = predict_probabilities(stack_8bit, load_ilp(model_path))
+        return np.clip(probs * 255.0, 0, 255).astype(np.uint8)
     if model_path and os.path.exists(model_path) and model_path.endswith(".npz"):
         probs = predict_probabilities(stack_8bit, load_model(model_path))
         return np.clip(probs * 255.0, 0, 255).astype(np.uint8)

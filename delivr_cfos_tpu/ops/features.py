@@ -64,6 +64,126 @@ def _sep_conv(vol: jnp.ndarray, kernels) -> jnp.ndarray:
     return x
 
 
+# --------------------------------------------------------------------------
+# Ilastik-compatible feature bank (for .ilp-imported classifiers)
+# --------------------------------------------------------------------------
+
+# canonical Ilastik pixel-classification feature ids, in the order the GUI
+# (and the .ilp SelectionMatrix rows) list them
+ILASTIK_FEATURE_IDS = (
+    "GaussianSmoothing",
+    "LaplacianOfGaussian",
+    "GaussianGradientMagnitude",
+    "DifferenceOfGaussians",
+    "StructureTensorEigenvalues",
+    "HessianOfGaussianEigenvalues",
+)
+
+
+def _eigvals_sym3(a11, a22, a33, a12, a13, a23):
+    """Eigenvalues of a symmetric 3×3 per-voxel field, descending — closed
+    form (trigonometric/Cardano), fully vectorized."""
+    q = (a11 + a22 + a33) / 3.0
+    b11, b22, b33 = a11 - q, a22 - q, a33 - q
+    p2 = (
+        b11**2 + b22**2 + b33**2 + 2.0 * (a12**2 + a13**2 + a23**2)
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det((A − qI)/p) / 2
+    detb = (
+        b11 * (b22 * b33 - a23 * a23)
+        - a12 * (a12 * b33 - a23 * a13)
+        + a13 * (a12 * a23 - b22 * a13)
+    )
+    r = jnp.clip(detb / (2.0 * p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    degen = p2 < 1e-20
+    return (
+        jnp.where(degen, q, e1),
+        jnp.where(degen, q, e2),
+        jnp.where(degen, q, e3),
+    )
+
+
+def _deriv_conv(x, sigma, orders):
+    """Gaussian-derivative filter with per-axis derivative orders (z, y, x)."""
+    ks = tuple(_gauss_kernel(sigma, o) for o in orders)
+    return _sep_conv(x, ks)
+
+
+def ilastik_feature_channels(fid: str, sigma: float):
+    """Number of channels a 3D Ilastik feature produces."""
+    return 3 if fid in (
+        "StructureTensorEigenvalues",
+        "HessianOfGaussianEigenvalues",
+    ) else 1
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def ilastik_feature_bank(vol: jnp.ndarray, spec: tuple) -> jnp.ndarray:
+    """(Z, Y, X) volume → (Z, Y, X, F) float32 features for an Ilastik
+    feature selection ``spec`` = tuple of (feature_id, sigma) in .ilp
+    SelectionMatrix order (feature ids outer, scales inner).
+
+    Filter definitions follow ilastik's (lazyflow OpPixelFeaturesPresmoothed
+    semantics, computed exactly at σ rather than via ilastik's presmoothed
+    pyramid approximation):
+      DifferenceOfGaussians(σ)        = gauss(σ) − gauss(0.66·σ)
+      StructureTensorEigenvalues(σ)   : inner scale σ, outer scale σ/2,
+                                        3 eigenvalues descending
+      HessianOfGaussianEigenvalues(σ) : 3 eigenvalues descending
+    """
+    x = vol.astype(jnp.float32)
+    feats = []
+    for fid, s in spec:
+        s = float(s)
+        if fid == "GaussianSmoothing":
+            g = _gauss_kernel(s, 0)
+            feats.append(_sep_conv(x, (g, g, g)))
+        elif fid == "LaplacianOfGaussian":
+            feats.append(
+                _deriv_conv(x, s, (2, 0, 0))
+                + _deriv_conv(x, s, (0, 2, 0))
+                + _deriv_conv(x, s, (0, 0, 2))
+            )
+        elif fid == "GaussianGradientMagnitude":
+            gz = _deriv_conv(x, s, (1, 0, 0))
+            gy = _deriv_conv(x, s, (0, 1, 0))
+            gx = _deriv_conv(x, s, (0, 0, 1))
+            feats.append(jnp.sqrt(gz**2 + gy**2 + gx**2 + 1e-12))
+        elif fid == "DifferenceOfGaussians":
+            g1 = _gauss_kernel(s, 0)
+            g2 = _gauss_kernel(0.66 * s, 0)
+            feats.append(_sep_conv(x, (g1, g1, g1)) - _sep_conv(x, (g2, g2, g2)))
+        elif fid == "StructureTensorEigenvalues":
+            gz = _deriv_conv(x, s, (1, 0, 0))
+            gy = _deriv_conv(x, s, (0, 1, 0))
+            gx = _deriv_conv(x, s, (0, 0, 1))
+            go = _gauss_kernel(s / 2.0, 0)
+            sm = lambda t: _sep_conv(t, (go, go, go))  # noqa: E731
+            e1, e2, e3 = _eigvals_sym3(
+                sm(gz * gz), sm(gy * gy), sm(gx * gx),
+                sm(gz * gy), sm(gz * gx), sm(gy * gx),
+            )
+            feats += [e1, e2, e3]
+        elif fid == "HessianOfGaussianEigenvalues":
+            e1, e2, e3 = _eigvals_sym3(
+                _deriv_conv(x, s, (2, 0, 0)),
+                _deriv_conv(x, s, (0, 2, 0)),
+                _deriv_conv(x, s, (0, 0, 2)),
+                _deriv_conv(x, s, (1, 1, 0)),
+                _deriv_conv(x, s, (1, 0, 1)),
+                _deriv_conv(x, s, (0, 1, 1)),
+            )
+            feats += [e1, e2, e3]
+        else:
+            raise ValueError(f"unknown Ilastik feature id {fid!r}")
+    return jnp.stack(feats, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("sigmas",))
 def feature_bank(vol: jnp.ndarray, sigmas: tuple = DEFAULT_SIGMAS) -> jnp.ndarray:
     """(Z, Y, X) volume → (Z, Y, X, F) float32 feature stack.

@@ -18,11 +18,12 @@ three contributing input planes (edge planes predicated off), pads two
 guard rows for the dy taps, masks the dx row-wrap lanes, and writes one
 output plane with the bias fused.
 
-Not yet the default inference path: with the engine's other round-2
-optimizations, full-resolution convs are ~55 of 89 ms per batch-8 window
-pass, so swapping them at 2.1× saves ~30% only if the rest of the model
-also moves to this layout (the NDHWC↔(C,S) transposes would eat the
-gain; see PERF.md "kernel v2" for the measured integration arithmetic).
+This IS the default fast-mode inference conv (models/basic_unet_cs.py
+runs the whole forward natively in (B, D, C, H·W), so no full-resolution
+layout conversion surrounds the kernel — 50 vs 91 ms per batch-8 window
+pass against the NDHWC XLA path; PERF.md "kernel v2"). The production
+pipeline reaches it via ``blob_detection.precision: fast`` (default on
+TPU through 'auto'; pipeline/stage02_inference.py:resolve_model_config).
 """
 
 from __future__ import annotations

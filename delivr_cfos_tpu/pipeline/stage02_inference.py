@@ -28,6 +28,45 @@ from delivr_cfos_tpu.utils.io.npy import open_memmap
 from delivr_cfos_tpu.utils.logging import log
 
 
+def resolve_model_config(bd, params) -> tuple[BasicUNetConfig, str]:
+    """Build the model config the production pipeline runs with, honoring
+    ``blob_detection.precision`` ('fast' | 'parity' | 'auto'). This is the
+    config analog of the reference's in-config perf controls
+    (reference: config.json:24-28, inference.py:171-187).
+
+    Returns (model_cfg, resolved_mode). 'auto' resolves to 'fast' on TPU
+    and 'parity' elsewhere. Fast mode selects the channels-sublane Pallas
+    conv path on TPU; off-TPU it keeps the XLA lowering (the Pallas
+    interpreter is a correctness tool, not a fast path)."""
+    import dataclasses
+
+    import jax
+
+    from delivr_cfos_tpu.models.basic_unet import infer_model_config
+
+    base = infer_model_config(params)
+    mode = (getattr(bd, "precision", "auto") or "auto").lower()
+    backend = jax.default_backend()
+    if mode == "auto":
+        mode = "fast" if backend == "tpu" else "parity"
+    if mode not in ("fast", "parity"):
+        raise ValueError(
+            f"blob_detection.precision must be 'fast', 'parity' or 'auto', "
+            f"got {mode!r}"
+        )
+    if mode == "parity":
+        return base, mode
+    return (
+        dataclasses.replace(
+            base,
+            compute_dtype=jnp.bfloat16,
+            precision="default",
+            conv_impl="pallas_cs" if backend == "tpu" else "xla3d",
+        ),
+        mode,
+    )
+
+
 def run_inference(
     cfg: PipelineConfig,
     mouse_name: str,
@@ -48,9 +87,8 @@ def run_inference(
         log("Loading weights", bd.model_location)
         params = load_weights(bd.model_location)
     if model_cfg is None:
-        from delivr_cfos_tpu.models.basic_unet import infer_model_config
-
-        model_cfg = infer_model_config(params)
+        model_cfg, precision_mode = resolve_model_config(bd, params)
+        log(f"Model precision mode: {precision_mode} ({model_cfg.conv_impl})")
 
     volume = np.load(input_path, mmap_mode="r")[0, 0]
     real_z, real_y, real_x = stack_shape[2:]
@@ -148,6 +186,11 @@ def run_inference(
                 erosion_iters=sw_cfg.erosion_iters,
             )
         )
+        # a brain interrupted mid-stream and later completed in-HBM would
+        # otherwise leave the streaming sidecar behind, making the runner's
+        # skip check (binaries exist AND no sidecar) re-run it every launch
+        if os.path.exists(resume_path):
+            os.remove(resume_path)
     else:
         # out-of-core: finalized chunks stream straight into the disk
         # memmaps; no full-volume host float32 buffer is ever allocated

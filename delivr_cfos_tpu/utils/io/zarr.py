@@ -184,7 +184,13 @@ def write_zarr(
                 pad = [(0, c - bs) for c, bs in zip(chunks, block.shape)]
                 block = np.pad(block, pad)
             raw = block.tobytes()
-            if compressor:
+            if compressor == "gzip":
+                # true gzip framing so external numcodecs GZip readers can
+                # decode the chunks (zlib framing under a 'gzip' id would
+                # break interop; our own reader auto-detects either)
+                co = zlib.compressobj(1, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+                raw = co.compress(raw) + co.flush()
+            elif compressor:
                 raw = zlib.compress(raw, 1)
             name = dimension_separator.join(str(i) for i in idx)
             chunk_path = os.path.join(path, name)

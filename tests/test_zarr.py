@@ -23,6 +23,22 @@ def test_zarr_roundtrip_compressors(tmp_path):
         np.testing.assert_array_equal(np.asarray(z), arr)
 
 
+def test_zarr_gzip_chunks_are_true_gzip(tmp_path):
+    """A 'gzip' compressor id must produce gzip-framed chunks (magic
+    1f 8b) so external numcodecs GZip readers can decode them."""
+    import gzip
+
+    rng = np.random.default_rng(2)
+    arr = (rng.random((10, 8)) * 255).astype(np.uint8)
+    p = str(tmp_path / "g")
+    write_zarr(p, arr, chunks=(10, 8), compressor="gzip")
+    chunk = [f for f in os.listdir(p) if not f.startswith(".")][0]
+    raw = open(os.path.join(p, chunk), "rb").read()
+    assert raw[:2] == b"\x1f\x8b"
+    assert gzip.decompress(raw) == arr.tobytes()  # independent decoder
+    np.testing.assert_array_equal(np.asarray(ZarrVolume(p)), arr)
+
+
 def test_zarr_partial_reads(tmp_path):
     rng = np.random.default_rng(1)
     arr = rng.standard_normal((40, 30, 20)).astype(np.float32)
