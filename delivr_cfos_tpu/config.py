@@ -86,6 +86,11 @@ class BlobDetectionConfig:
     # 1 = single chip (reference semantics either way); requires at least
     # that many JAX devices at runtime.
     spatial_shards: int = 1
+    # framework extension: distribute independent brains across this many
+    # DCN slices (hybrid mesh, SURVEY.md §5.8) — each brain's spatial
+    # sharding stays inside one slice's ICI. Requires
+    # dcn_slices × spatial_shards ≤ device count. 1 = no distribution.
+    dcn_slices: int = 1
     # framework extension — numerical mode of the UNet forward (the
     # reference exposes its perf controls in config too, config.json:24-28):
     #   'parity' — float32 activations, precision='highest' convs: the

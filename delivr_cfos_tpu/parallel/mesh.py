@@ -47,6 +47,7 @@ def make_hybrid_mesh(
     slice topology (e.g. CPU test meshes).
     """
     devices = jax.devices()
+    explicit = n_slices is not None
     try:
         from jax.experimental import mesh_utils
 
@@ -60,6 +61,34 @@ def make_hybrid_mesh(
             )
             return Mesh(dev_array, (dcn_axis, ici_axis))
     except Exception:
-        pass
+        # no physical slice topology (virtual CPU meshes): honor an
+        # EXPLICIT n_slices with a logical reshape — collective placement
+        # is identical, only the physical DCN/ICI distinction is absent
+        if explicit and n_slices and n_slices > 1 and len(devices) % n_slices == 0:
+            dev_array = np.asarray(devices).reshape(n_slices, -1)
+            return Mesh(dev_array, (dcn_axis, ici_axis))
     dev_array = np.asarray(devices).reshape(1, len(devices))
     return Mesh(dev_array, (dcn_axis, ici_axis))
+
+
+def slice_submeshes(mesh: Mesh, ici_axis: str = "sp") -> list:
+    """One single-axis ICI mesh per DCN slice of a hybrid mesh.
+
+    Brains are independent (SURVEY.md §5.8): the runner maps the brain loop
+    across these submeshes, so each brain's halo exchanges ride one slice's
+    ICI and nothing hot ever crosses DCN."""
+    devs = np.asarray(mesh.devices)
+    if devs.ndim == 1:
+        devs = devs[None]
+    return [Mesh(devs[i], (ici_axis,)) for i in range(devs.shape[0])]
+
+
+def assign_brains_to_slices(n_brains: int, n_slices: int) -> list:
+    """Round-robin brain→slice assignment: returns per-slice index lists.
+    On multi-host deployments each host runs the runner and processes only
+    the slice matching ``jax.process_index()``; single-process virtual
+    meshes iterate all slices."""
+    out = [[] for _ in range(n_slices)]
+    for i in range(n_brains):
+        out[i % n_slices].append(i)
+    return out

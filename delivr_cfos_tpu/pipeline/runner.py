@@ -73,9 +73,49 @@ def _run_pipeline(cfg: PipelineConfig) -> StageTimer:
         mice = sorted(
             d for d in os.listdir(batch) if os.path.isdir(os.path.join(batch, d))
         )
+        # per-brain DCN distribution (SURVEY.md §5.8): brains are
+        # independent, so the brain loop maps across the hybrid mesh's
+        # 'dp' slices — each brain's spatial sharding stays on one slice's
+        # ICI. Multi-host: each host process serves its own slice
+        # (jax.process_index); single-process virtual meshes serve all.
+        brain_mesh = {}
+        if cfg.blob_detection.dcn_slices > 1:
+            import jax
+
+            from delivr_cfos_tpu.parallel.mesh import (
+                assign_brains_to_slices,
+                make_hybrid_mesh,
+                slice_submeshes,
+            )
+
+            n_slices = cfg.blob_detection.dcn_slices
+            if len(jax.devices()) >= n_slices:
+                hybrid = make_hybrid_mesh(n_slices=n_slices)
+                subs = slice_submeshes(hybrid)
+                per_slice = assign_brains_to_slices(len(mice), len(subs))
+                my_slices = (
+                    [jax.process_index() % len(subs)]
+                    if jax.process_count() > 1
+                    else range(len(subs))
+                )
+                for s in my_slices:
+                    for bi in per_slice[s]:
+                        brain_mesh[bi] = (s, subs[s])
+                log(
+                    f"Distributing {len(mice)} brains over {len(subs)} "
+                    f"DCN slices ({subs[0].devices.size} chips each)"
+                )
+            else:
+                log(
+                    f"WARNING: dcn_slices={n_slices} but only "
+                    f"{len(jax.devices())} devices — running undistributed"
+                )
         with timer.span("blob_detection"):
             for mouse_i, mouse in enumerate(mice):
                 hooks.item(mouse_i, len(mice))
+                if brain_mesh and mouse_i not in brain_mesh:
+                    log(mouse, "assigned to another slice/host, skipping...")
+                    continue
                 binaries = os.path.join(
                     cfg.blob_detection.output_location,
                     mouse,
@@ -92,7 +132,12 @@ def _run_pipeline(cfg: PipelineConfig) -> StageTimer:
                     log(mouse, "already processed, skipping...")
                     continue
                 stack_shape = (1, 1, *get_real_size(os.path.join(cfg.raw_location, mouse)))
-                run_inference(cfg, mouse, stack_shape)
+                if brain_mesh:
+                    s, sub = brain_mesh[mouse_i]
+                    log(f"{mouse} → DCN slice {s}")
+                    run_inference(cfg, mouse, stack_shape, mesh=sub)
+                else:
+                    run_inference(cfg, mouse, stack_shape)
 
     if flags.POSTPROCESSING:
         log("Postprocessing")

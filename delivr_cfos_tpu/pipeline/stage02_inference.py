@@ -73,6 +73,7 @@ def run_inference(
     stack_shape: tuple,
     params=None,
     model_cfg: BasicUNetConfig | None = None,
+    mesh=None,
 ) -> str:
     """Returns the session path ({blob_output}/{mouse})."""
     bd = cfg.blob_detection
@@ -115,9 +116,15 @@ def run_inference(
 
     # optional multi-chip spatial sharding (BASELINE config 5: the full
     # pipeline sharded across chips; replaces the reference's DataParallel
-    # window scatter, inference.py:217-219)
-    mesh = None
-    if bd.spatial_shards > 1:
+    # window scatter, inference.py:217-219). A caller-provided ``mesh``
+    # (the runner's per-slice submesh when dcn_slices > 1) takes priority;
+    # single-device submeshes mean "this slice, no spatial sharding".
+    if mesh is not None:
+        if mesh.devices.size > 1:
+            log(f"Spatial sharding over caller mesh ({mesh.devices.size} chips)")
+        else:
+            mesh = None
+    elif bd.spatial_shards > 1:
         import jax
 
         n_dev = len(jax.devices())

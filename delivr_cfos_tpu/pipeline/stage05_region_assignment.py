@@ -168,7 +168,10 @@ def map_cells_to_atlas(cfg: PipelineConfig, hooks: HookEmitter | None = None) ->
         if not matches:
             log("No collection CSV for", mouse_name, "— skipping")
             continue
-        cells = pd.read_csv(matches[0], sep=" ", usecols=["n", "x", "y", "z", "Size"])
+        cells = pd.read_csv(
+            matches[0], sep=" ", usecols=["n", "x", "y", "z", "Size"],
+            comment="#",  # stage 4 stamps '# registration_mode: ...'
+        )
         if min_size != -1:
             cells = cells[cells["Size"] >= min_size]
         if max_size != -1:

@@ -76,6 +76,53 @@ def make_synthetic_atlas(
     return vol, labels
 
 
+def lsfm_degrade(
+    vol: np.ndarray,
+    seed: int = 0,
+    gamma: float = 0.55,
+    blur_sigma=(2.2, 0.8, 0.8),
+    noise_std: float = 6.0,
+    stripe_amp: float = 0.12,
+    fov_crop_z: float = 0.18,
+):
+    """Make a clean synthetic acquisition LSFM-realistic (VERDICT r2 item 6):
+
+    - **nonlinear monotone intensity map** (gamma + soft saturation): the
+      relation between an autofluorescence acquisition and the atlas average
+      template is not linear, so NCC's linear model is dishonest on clean
+      Voronoi phantoms — after this remap only MI-class similarities are
+      expected to keep working;
+    - **anisotropic blur** (light-sheet z-smear ≫ lateral);
+    - **multiplicative stripe artifact** along x (shadowing);
+    - **additive noise**;
+    - **partial FOV**: the top ``fov_crop_z`` fraction of z is zeroed, the
+      acquisition cut off mid-brain as hemisphere scans are.
+
+    Returns the degraded float32 volume (same shape).
+    """
+    rng = np.random.default_rng(seed)
+    x = np.asarray(vol, np.float32)
+    peak = max(float(x.max()), 1.0)
+    # monotone nonlinearity: normalized gamma + soft shoulder
+    xn = np.clip(x / peak, 0, 1)
+    y = xn**gamma
+    y = y / (0.6 + 0.4 * y)  # saturating shoulder
+    y *= 255.0
+    # separable gaussian blur (anisotropic, z-heavy)
+    from scipy.ndimage import gaussian_filter
+
+    y = gaussian_filter(y, sigma=blur_sigma)
+    # stripes: smooth multiplicative modulation along x
+    xs = np.arange(x.shape[2])
+    stripes = 1.0 + stripe_amp * np.sin(2 * np.pi * xs / 23.0 + rng.uniform(0, 6))
+    y = y * stripes[None, None, :]
+    y = y + rng.normal(0.0, noise_std, y.shape)
+    y = np.clip(y, 0, 300).astype(np.float32)
+    if fov_crop_z > 0:
+        y[: int(x.shape[0] * fov_crop_z)] = 0.0
+    return y
+
+
 def apply_transform_volume(moving: np.ndarray, fixed_shape, transform_fn):
     """Pull-back resample: fixed[v] = moving[transform_fn(v)].
     ``transform_fn`` takes/returns (N, 3) point arrays."""

@@ -86,7 +86,8 @@ def variant_c(x, w, b):
     return out + b.astype(x.dtype)[None, None, :, None]
 
 
-def _pallas_kernel(x_ref, w_ref, b_ref, out_ref, *, cin, cout, h, wdt):
+def _pallas_kernel(x_ref, w_ref, b_ref, out_ref, *, cin, cout, h, wdt,
+                   y_mode):
     # x block: (1, 1, cin, S); w: (cin, 8O) cols (dz, dy, dx, o)
     y = jax.lax.dot_general(
         w_ref[...], x_ref[0, 0],
@@ -94,25 +95,43 @@ def _pallas_kernel(x_ref, w_ref, b_ref, out_ref, *, cin, cout, h, wdt):
         preferred_element_type=jnp.float32,
     )  # (8O, S) rows (dz, dy, dx, o)
     s = h * wdt
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cout, 2 * s), 1)
-    even = (lane % 2) == 0
     bias = b_ref[...][:, None]
     for dz in range(2):
+        rows = []
         for dy in range(2):
             p0 = y[(dz * 4 + dy * 2 + 0) * cout : (dz * 4 + dy * 2 + 1) * cout]
             p1 = y[(dz * 4 + dy * 2 + 1) * cout : (dz * 4 + dy * 2 + 2) * cout]
-            r0 = pltpu.repeat(p0, 2, axis=1)
-            r1 = pltpu.repeat(p1, 2, axis=1)
-            row = jnp.where(even, r0, r1) + bias  # (cout, h*2w) x-interleaved
-            out_ref[0, 0, dz, :, :, dy, :] = row.reshape(
-                cout, h, 2 * wdt
-            ).astype(out_ref.dtype)
+            # x-interleave: (cout, s, 2) minor-most stack then merge
+            row = jnp.stack([p0, p1], axis=-1).reshape(cout, 2 * s) + bias
+            rows.append(row.astype(out_ref.dtype))
+        if y_mode == "stack":
+            # in-kernel y-interleave: (cout, h, 2, 2w), contiguous store
+            a = rows[0].reshape(cout, h, 2 * wdt)
+            bv = rows[1].reshape(cout, h, 2 * wdt)
+            out_ref[0, 0, dz] = jnp.stack([a, bv], axis=2)
+        else:  # 'split': dy-major blocks; XLA transposes afterwards
+            out_ref[0, 0, dz, 0] = rows[0]
+            out_ref[0, 0, dz, 1] = rows[1]
 
 
-def variant_d(x, w, b):
+def _variant_d(x, w, b, y_mode):
     wm = jnp.transpose(w, (0, 2, 3, 4, 1)).reshape(C, 8 * O).astype(DT)
-    kern = functools.partial(_pallas_kernel, cin=C, cout=O, h=H, wdt=W)
-    out7 = pl.pallas_call(
+    kern = functools.partial(
+        _pallas_kernel, cin=C, cout=O, h=H, wdt=W, y_mode=y_mode
+    )
+    if y_mode == "stack":
+        out_shape = jax.ShapeDtypeStruct((B, D, 2, O, H, 2, 2 * W), DT)
+        out_spec = pl.BlockSpec(
+            (1, 1, 2, O, H, 2, 2 * W), lambda bb, d: (bb, d, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, D, 2, 2, O, 2 * S), DT)
+        out_spec = pl.BlockSpec(
+            (1, 1, 2, 2, O, 2 * S), lambda bb, d: (bb, d, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    out = pl.pallas_call(
         kern,
         grid=(B, D),
         in_specs=[
@@ -122,13 +141,24 @@ def variant_d(x, w, b):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((O,), lambda bb, d: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 2, O, H, 2, 2 * W), lambda bb, d: (bb, d, 0, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, D, 2, O, H, 2, 2 * W), DT),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=jax.default_backend() != "tpu",
     )(x.astype(DT), wm, jnp.asarray(b, jnp.float32))
-    return out7.reshape(B, 2 * D, O, 4 * S)
+    if y_mode == "stack":
+        return out.reshape(B, 2 * D, O, 4 * S)
+    # (B, D, dz, dy, O, h·2w) → (B, D, dz, O, h, dy, 2w) → merge
+    out = out.reshape(B, D, 2, 2, O, H, 2 * W)
+    out = jnp.transpose(out, (0, 1, 2, 4, 5, 3, 6))
+    return out.reshape(B, 2 * D, O, 4 * S)
+
+
+def variant_d(x, w, b):
+    return _variant_d(x, w, b, "stack")
+
+
+def variant_f(x, w, b):
+    return _variant_d(x, w, b, "split")
 
 
 def variant_e(x, w, b):
@@ -145,7 +175,7 @@ def variant_e(x, w, b):
 
 
 def time_variant(name, fn, x, w, b, n_chain=20):
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def chain(x, n):
         def body(carry, _):
             y = fn(carry, w, b)
@@ -182,7 +212,7 @@ def main():
     # correctness vs variant A first (on small slices, via jit once)
     ref = np.asarray(jax.jit(variant_a)(x, w, b), np.float32)
     for name, fn in [("B", variant_b), ("C", variant_c), ("D", variant_d),
-                     ("E", variant_e)]:
+                     ("E", variant_e), ("F", variant_f)]:
         try:
             got = np.asarray(jax.jit(fn)(x, w, b), np.float32)
             err = np.abs(got - ref).max()
@@ -192,7 +222,7 @@ def main():
                   flush=True)
 
     for name, fn in [("A", variant_a), ("B", variant_b), ("C", variant_c),
-                     ("D", variant_d), ("E", variant_e)]:
+                     ("D", variant_d), ("E", variant_e), ("F", variant_f)]:
         time_variant(name, fn, x, w, b)
 
 

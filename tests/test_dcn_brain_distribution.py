@@ -1,0 +1,117 @@
+"""Per-brain DCN distribution in the runner (VERDICT r2 item 8): with
+``blob_detection.dcn_slices`` > 1 the brain loop maps across the hybrid
+mesh's 'dp' slices — verified on a virtual two-slice mesh, with outputs
+bit-identical to the undistributed run."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from delivr_cfos_tpu.config import PipelineConfig
+from delivr_cfos_tpu.models import init_params
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
+from delivr_cfos_tpu.models.convert import save_params_npz
+from delivr_cfos_tpu.pipeline.runner import run_pipeline
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+TINY = (4, 4, 8, 16, 32, 4)
+REAL_SHAPE = (16, 32, 32)
+
+
+def _setup(tmp, n_brains=3):
+    rng = np.random.default_rng(5)
+    os.makedirs(tmp / "raw", exist_ok=True)
+    for b in range(n_brains):
+        vol = np.zeros((16, 32, 32), np.uint16)
+        real = (rng.random(REAL_SHAPE) * 200 + 10).astype(np.uint16)
+        real[4:7, 10:16, 10:16] = 40000 + b
+        vol[: REAL_SHAPE[0]] = real
+        d = tmp / "in" / f"brain{b}" / "masked_niftis"
+        os.makedirs(d)
+        np.save(d / "masked_nifti.npy", vol[None, None])
+        # runner reads stack shape from the raw tree
+        os.makedirs(tmp / "raw" / f"brain{b}", exist_ok=True)
+        from delivr_cfos_tpu.utils.io.tiff import write_tiff
+
+        for z in range(REAL_SHAPE[0]):
+            write_tiff(
+                str(tmp / "raw" / f"brain{b}" / f"Z{z:04d}.tif"), real[z]
+            )
+
+    params = init_params(jax.random.PRNGKey(0), BasicUNetConfig(features=TINY))
+    weights = tmp / "w.npz"
+    save_params_npz(str(weights), params)
+    return weights
+
+
+def _cfg(tmp, weights, out_name, dcn_slices):
+    return PipelineConfig.from_dict(
+        {
+            "raw_location": str(tmp / "raw"),
+            "output_location": str(tmp),
+            "blob_detection": {
+                "input_location": "in/",
+                "model_location": str(weights),
+                "output_location": out_name,
+                "window_dimensions": {
+                    "window_dim_0": 16,
+                    "window_dim_1": 16,
+                    "window_dim_2": 16,
+                },
+                "dcn_slices": dcn_slices,
+            },
+            "FLAGS": {
+                "TEST_TIME_AUGMENTATION": False,
+                "MASK_DOWNSAMPLE": False,
+                "POSTPROCESSING": False,
+                "ATLAS_ALIGNMENT": False,
+                "REGION_ASSIGNMENT": False,
+                "VISUALIZATION": False,
+            },
+        }
+    )
+
+
+def test_brains_distribute_over_two_slices(tmp_path, capsys):
+    weights = _setup(tmp_path, n_brains=3)
+    run_pipeline(_cfg(tmp_path, weights, "out_dcn/", dcn_slices=2))
+    out = capsys.readouterr().out
+    assert "Distributing 3 brains over 2 DCN slices" in out
+    assert "brain0 → DCN slice 0" in out
+    assert "brain1 → DCN slice 1" in out
+    assert "brain2 → DCN slice 0" in out
+
+    run_pipeline(_cfg(tmp_path, weights, "out_plain/", dcn_slices=1))
+    for b in range(3):
+        dist = np.load(
+            tmp_path
+            / "out_dcn"
+            / f"brain{b}"
+            / "binary_segmentations"
+            / "binaries.npy"
+        )
+        plain = np.load(
+            tmp_path
+            / "out_plain"
+            / f"brain{b}"
+            / "binary_segmentations"
+            / "binaries.npy"
+        )
+        assert dist.shape == REAL_SHAPE
+        np.testing.assert_array_equal(dist, plain)
+
+
+def test_too_few_devices_falls_back(tmp_path, capsys):
+    weights = _setup(tmp_path, n_brains=1)
+    run_pipeline(_cfg(tmp_path, weights, "out/", dcn_slices=64))
+    out = capsys.readouterr().out
+    assert "running undistributed" in out
+    assert os.path.exists(
+        tmp_path / "out" / "brain0" / "binary_segmentations" / "binaries.npy"
+    )

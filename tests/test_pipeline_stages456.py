@@ -178,7 +178,14 @@ def test_stage4_outputs(full_run):
         "mouseQ_local_registered_with_original_size.csv",
     )
     assert os.path.exists(coll)
-    cells = pd.read_csv(coll, sep=" ")
+    # stage 4 stamps the registration mode into both the collection CSV
+    # (leading comment) and transform.npz so fallback runs self-identify
+    with open(coll) as f:
+        first = f.readline()
+    assert first.startswith("# registration_mode: ")
+    tr = np.load(os.path.join(outdir, "transform.npz"))
+    assert bytes(tr["mode"]).decode() == first.split(": ", 1)[1].strip()
+    cells = pd.read_csv(coll, sep=" ", comment="#")
     assert list(cells.columns) == ["n", "type", "x", "y", "z", "Size"]
     assert len(cells) == 3
     # fallback affine scales into the 50 µm atlas box

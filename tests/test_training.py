@@ -114,6 +114,6 @@ def test_hybrid_mesh_two_slices():
         pytest.skip("needs the 8-device virtual mesh")
     mesh = make_hybrid_mesh(n_slices=2)
     assert mesh.axis_names == ("dp", "sp")
-    # create_hybrid_device_mesh may be unavailable for CPU topologies; the
-    # helper must still return a usable (dp, sp) mesh either way
-    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    # an EXPLICIT n_slices must be honored even without physical slice
+    # topology (virtual CPU mesh): logical (2, 4) layout
+    assert mesh.shape["dp"] == 2 and mesh.shape["sp"] == 4
