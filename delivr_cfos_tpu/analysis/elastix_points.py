@@ -5,7 +5,8 @@ the external ``transformix`` binary with elastix ``TransformParameters``
 files, twice (intermediate + inverse alignment), parsing the text output
 each time (reference: 2021_preprocess_for_brainrender_v13.py:60-167,
 ClearMap-derived). This module replaces the binary with a native evaluator
-of the two transform classes those files contain — ``AffineTransform`` and
+of the transform classes those files contain — ``AffineTransform``,
+``EulerTransform``, ``SimilarityTransform``, ``TranslationTransform`` and
 ``BSplineTransform`` (cubic) — plus readers/writers for the transformix
 text formats, so existing elastix registrations remain usable without any
 external tool (and the formats stay interoperable with real transformix).
@@ -110,6 +111,34 @@ def _bspline_w(f):
     )
 
 
+def _euler_matrix(ax: float, ay: float, az: float, zyx: bool) -> np.ndarray:
+    """ITK Euler3DTransform rotation matrix from per-axis angles (radians)."""
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float64)
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float64)
+    return rz @ ry @ rx if zyx else rz @ rx @ ry
+
+
+def _versor_matrix(vx: float, vy: float, vz: float) -> np.ndarray:
+    """Rotation matrix from an ITK versor's vector part (w ≥ 0 implied)."""
+    n2 = vx * vx + vy * vy + vz * vz
+    if n2 > 1.0 + 1e-10:
+        raise ValueError(f"versor vector norm² {n2} > 1")
+    w = np.sqrt(max(1.0 - n2, 0.0))
+    x, y, z = vx, vy, vz
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
 def apply_transform(points_xyz: np.ndarray, params: dict) -> np.ndarray:
     """Evaluate one elastix transform at physical points (N, 3), x-y-z order
     (elastix's native coordinate order)."""
@@ -124,8 +153,21 @@ def apply_transform(points_xyz: np.ndarray, params: dict) -> np.ndarray:
         elif tclass == "TranslationTransform":
             A = np.eye(3)
             t = p[:3]
-        else:
-            raise NotImplementedError(f"{tclass} evaluation not implemented")
+        elif tclass == "EulerTransform":
+            # ITK Euler3DTransform: params (θx, θy, θz, tx, ty, tz), radians.
+            # Composition order depends on ComputeZYX (elastix default false
+            # → R = Rz·Rx·Ry; true → R = Rz·Ry·Rx).
+            A = _euler_matrix(
+                p[0], p[1], p[2],
+                zyx=str(params.get("ComputeZYX", ["false"])[0]).lower()
+                == "true",
+            )
+            t = p[3:6]
+        else:  # SimilarityTransform
+            # ITK Similarity3DTransform: params (vx, vy, vz, tx, ty, tz, s) —
+            # versor vector part, translation, isotropic scale; A = s·R.
+            A = float(p[6]) * _versor_matrix(p[0], p[1], p[2])
+            t = p[3:6]
         c = np.asarray(
             params.get("CenterOfRotationPoint", [0.0, 0.0, 0.0]), np.float64
         )

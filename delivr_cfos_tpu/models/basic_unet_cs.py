@@ -85,9 +85,71 @@ def _conv_block_cs(x, p, h, wd):
     return _mish_cs(x)
 
 
+def _in_affine_from_stats(stats, scale, bias, n_vox):
+    """Per-plane (Σx, Σx²) from the conv kernel → per-(B, C) affine factors
+    a = inv·scale, c = bias − mean·a such that IN(x)·scale + bias = x·a + c."""
+    s = jnp.sum(stats, axis=1)  # (B, 2, C) f32
+    mean = s[:, 0] / n_vox
+    var = jnp.maximum(s[:, 1] / n_vox - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + _IN_EPS)
+    a = inv * scale.astype(jnp.float32)[None, :]
+    c = bias.astype(jnp.float32)[None, :] - mean * a
+    return a, c
+
+
+def _affine_mish_cs(x, a, c):
+    """mish(x·a + c) per (B, C) — the one remaining elementwise pass when the
+    consumer is not a Pallas conv (pool / deconv / concat / final dot)."""
+    xf = x.astype(jnp.float32)
+    v = xf * a[:, None, :, None] + c[:, None, :, None]
+    return (v * jnp.tanh(jax.nn.softplus(v))).astype(x.dtype)
+
+
+def _fused_eligible(x, h, wd):
+    """The fused conv→IN→mish→conv chain needs both convs on the Pallas
+    kernel (same plane-size gate as _conv_cs)."""
+    min_plane = _PALLAS_MIN_PLANE if not _interpret() else 1024
+    return h * wd >= min_plane
+
+
 def _two_conv_cs(x, p, h, wd):
-    x = _conv_block_cs(x, p["conv_0"], h, wd)
-    return _conv_block_cs(x, p["conv_1"], h, wd)
+    """conv → IN → mish → conv → IN → mish. On Pallas-eligible planes each
+    conv emits per-plane Σx/Σx² alongside its output, so the InstanceNorm
+    statistics never re-read the conv output from HBM; normalize+mish then
+    runs as ONE fused XLA elementwise pass per block (read + write).
+
+    Measured on TPU v5e (batch-8 window pass): 41.8 ms vs 42.5 unfused vs
+    43.7 for the deeper variant that also applies normalize+mish as the
+    consumer conv's in-kernel prologue — the prologue's per-step (B, C)
+    affine operands stage through ms-level copy-start stalls at the Pallas
+    call boundary, costing more than the saved elementwise pass. The
+    prologue path (conv3d_cs ``in_affine``) stays available and tested.
+    Reference semantics: MONAI TwoConv (basic_unet.py; tolerances at bf16
+    rounding level — fast mode only)."""
+    if not _fused_eligible(x, h, wd):
+        x = _conv_block_cs(x, p["conv_0"], h, wd)
+        return _conv_block_cs(x, p["conv_1"], h, wd)
+    p0, p1 = p["conv_0"], p["conv_1"]
+    n_vox = x.shape[1] * h * wd  # (D, S) per (B, C)
+    y0, st0 = _conv_stats_cs(x, p0["w"], p0["b"], h, wd)
+    a0, c0 = _in_affine_from_stats(st0, p0["scale"], p0["bias"], n_vox)
+    y0 = _affine_mish_cs(y0, a0, c0)
+    y1, st1 = _conv_stats_cs(y0, p1["w"], p1["b"], h, wd)
+    a1, c1 = _in_affine_from_stats(st1, p1["scale"], p1["bias"], n_vox)
+    return _affine_mish_cs(y1, a1, c1)
+
+
+def _conv_stats_cs(x, w, b, h, wd):
+    """Pallas conv with stats output; pads odd C_in like _conv_cs."""
+    if x.shape[2] % 2:
+        x = jnp.concatenate(
+            [x, jnp.zeros((*x.shape[:2], 1, x.shape[3]), x.dtype)], axis=2
+        )
+        w = jnp.concatenate(
+            [w, jnp.zeros((*w.shape[:3], 1, w.shape[4]), w.dtype)], axis=3
+        )
+    return conv3d_cs(x, w, b, h=h, w=wd, interpret=_interpret(),
+                     emit_stats=True)
 
 
 def _maxpool2_cs(x, h, wd):
@@ -106,20 +168,27 @@ def _maxpool2_cs(x, h, wd):
 
 
 def _deconv2x_cs(x, w, b, h, wd):
-    """(B, D, C, S) → (B, 2D, O, 4S): contract C, interleave the 2³ block."""
+    """(B, D, C, S) → (B, 2D, O, 4S): 2×2×2 stride-2 transposed conv.
+
+    Formulated as ``lax.conv_transpose`` over (B, D, C, H, W) with the
+    feature dim in NDCHW position — XLA's native transposed-conv emitter
+    interleaves the 2³ phase block without the layout copies the explicit
+    dot → reshape → transpose formulation pays (measured 6.9 vs 31.7 ms at
+    the upcat_1 shape, scripts/probe_deconv.py variants E vs A; bit-
+    identical output). Weights are torch ConvTranspose3d layout
+    (C_in, C_out, 2, 2, 2) (reference: inference.py:190-197 via MONAI
+    UpCat), flipped to regular-conv orientation for conv_transpose."""
     bsz, d, c, s = x.shape
     o = w.shape[1]
-    wm = jnp.transpose(w, (0, 2, 3, 4, 1)).reshape(c, 8 * o).astype(x.dtype)
-    y = jax.lax.dot_general(
-        x,
-        wm,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    # y: (B, D, S, 8O) with 8O = (dz, dy, dx, O)
-    y = y.reshape(bsz, d, h, wd, 2, 2, 2, o)
-    # → (B, D, dz, O, H, dy, W, dx) → (B, 2D, O, (2h+dy)(2W)+(2w+dx))
-    y = jnp.transpose(y, (0, 1, 4, 7, 2, 5, 3, 6))
+    xg = x.reshape(bsz, d, c, h, wd)
+    wt = jnp.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].astype(x.dtype)
+    y = jax.lax.conv_transpose(
+        xg,
+        wt,
+        strides=(2, 2, 2),
+        padding="VALID",
+        dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+    )
     y = y.reshape(bsz, 2 * d, o, (2 * h) * (2 * wd))
     return y + b.astype(x.dtype)[None, None, :, None]
 

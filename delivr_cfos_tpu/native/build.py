@@ -14,7 +14,7 @@ import subprocess
 import threading
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["cc_label.cpp"]
+_SOURCES = ["cc_label.cpp", "tiff_codec.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -37,6 +37,7 @@ def _build(so_path: str) -> None:
         "-shared",
         "-fPIC",
         "-std=c++17",
+        "-pthread",
         "-o",
         so_path,
         *srcs,
@@ -74,6 +75,27 @@ def get_library():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
                 ctypes.c_void_p,
+            ]
+            for name in ("tiff_lzw_decode", "tiff_packbits_decode"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_int64,
+                    ctypes.c_void_p,
+                    ctypes.c_int64,
+                ]
+            lib.tiff_decode_strips.restype = ctypes.c_int64
+            lib.tiff_decode_strips.argtypes = [
+                ctypes.c_void_p,  # src
+                ctypes.c_void_p,  # src_offs
+                ctypes.c_void_p,  # src_lens
+                ctypes.c_int64,   # n_strips
+                ctypes.c_void_p,  # dst
+                ctypes.c_void_p,  # dst_offs
+                ctypes.c_void_p,  # dst_caps
+                ctypes.c_int64,   # kind
+                ctypes.c_int64,   # n_threads
             ]
             _LIB = lib
         except Exception:

@@ -39,8 +39,24 @@ from jax.experimental.pallas import tpu as pltpu
 _TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 
-def _kernel(xm1, x0, xp1, w_ref, b_ref, out_ref, pad_ref, rolled_ref, acc_ref, *,
-            cin, cout, h, wdt, n_d, interpret):
+def _mish_f32(v):
+    return v * jnp.tanh(jax.nn.softplus(v))
+
+
+def _kernel(xm1, x0, xp1, w_ref, b_ref, *rest, cin, cout, h, wdt, n_d,
+            interpret, has_affine, emit_stats):
+    """rest = [a_ref, c_ref]? + out_ref [+ stats_ref] + scratch refs."""
+    idx = 0
+    if has_affine:
+        a_ref, c_ref = rest[0], rest[1]
+        idx = 2
+    out_ref = rest[idx]
+    idx += 1
+    if emit_stats:
+        stats_ref = rest[idx]
+        idx += 1
+    pad_ref, rolled_ref, acc_ref = rest[idx : idx + 3]
+
     d = pl.program_id(1)
     sp = (h + 2) * wdt
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
@@ -52,10 +68,20 @@ def _kernel(xm1, x0, xp1, w_ref, b_ref, out_ref, pad_ref, rolled_ref, acc_ref, *
 
     for dz, xref, guard in ((0, xm1, d > 0), (1, x0, None), (2, xp1, d < n_d - 1)):
         def tap_block():
+            plane = xref[0, 0]
+            if has_affine:
+                # fused InstanceNorm+mish prologue: the producer conv emitted
+                # raw (pre-norm) activations plus per-(B, C) affine factors
+                # a = inv·scale, c = bias − mean·inv·scale; applying
+                # mish(x·a + c) here removes the separate normalize+mish
+                # HBM round trip (VERDICT r2 item 3)
+                v = plane.astype(jnp.float32)
+                v = v * a_ref[0, 0][:, None] + c_ref[0, 0][:, None]
+                plane = _mish_f32(v).astype(pad_ref.dtype)
             # pad guard rows (zeros) around the plane for the dy taps
-            pad_ref[:, :wdt] = jnp.zeros((cin, wdt), xref.dtype)
-            pad_ref[:, wdt : wdt + h * wdt] = xref[0, 0]
-            pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), xref.dtype)
+            pad_ref[:, :wdt] = jnp.zeros((cin, wdt), pad_ref.dtype)
+            pad_ref[:, wdt : wdt + h * wdt] = plane
+            pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), pad_ref.dtype)
             if interpret:
                 xpad = pad_ref[...].astype(jnp.float32)
                 for t, (dy, dx) in enumerate(_TAPS):
@@ -92,15 +118,31 @@ def _kernel(xm1, x0, xp1, w_ref, b_ref, out_ref, pad_ref, rolled_ref, acc_ref, *
 
     out = acc_ref[:, wdt : wdt + h * wdt] + b_ref[...][:, None]
     out_ref[0, 0] = out.astype(out_ref.dtype)
+    if emit_stats:
+        # per-plane Σx / Σx² of the f32 (pre-bf16) conv output, for the
+        # consumer's InstanceNorm — saves the stats read pass over the
+        # written output (VERDICT r2 item 3)
+        stats_ref[0, 0] = jnp.stack(
+            [jnp.sum(out, axis=1), jnp.sum(out * out, axis=1)]
+        )
 
 
-@partial(jax.jit, static_argnames=("h", "w", "interpret"))
-def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False):
+@partial(jax.jit, static_argnames=("h", "w", "interpret", "emit_stats"))
+def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
+              in_affine=None, emit_stats: bool = False):
     """3×3×3 SAME convolution on (B, D, C_in, H·W) bf16 activations.
 
     ``weights``: standard (3, 3, 3, C_in, C_out) (DHWIO); ``bias``: (C_out,).
     Returns (B, D, C_out, H·W) bf16. C_in must be even (bf16 pair packing)
     unless ``interpret``.
+
+    Fused InstanceNorm+mish (VERDICT r2 item 3):
+    - ``in_affine=(a, c)`` with a, c (B, C_in) f32 applies
+      ``mish(x·a + c)`` to the input planes inside the kernel (prologue) —
+      the producer conv's normalize+mish never round-trips through HBM.
+    - ``emit_stats=True`` additionally returns (B, D, 2, C_out) f32 per-plane
+      (Σx, Σx²) of the conv output, from which the consumer derives the
+      instance-norm mean/var without re-reading the output.
     """
     b_, n_d, cin, s0 = x.shape
     assert s0 == h * w
@@ -116,57 +158,80 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False):
     sp = (h + 2) * w
     rolled_rows = 9 * cin if interpret else 9 * cin // 2
     rolled_dtype = jnp.bfloat16 if interpret else jnp.int32
+    has_affine = in_affine is not None
     kern = partial(
-        _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d, interpret=interpret
+        _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d, interpret=interpret,
+        has_affine=has_affine, emit_stats=emit_stats,
     )
+    mem = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, cin, s0),
+            lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0),
+            memory_space=mem,
+        ),
+        pl.BlockSpec(
+            (1, 1, cin, s0),
+            lambda b, d: (b, d, 0, 0),
+            memory_space=mem,
+        ),
+        pl.BlockSpec(
+            (1, 1, cin, s0),
+            lambda b, d: (b, jnp.minimum(d + 1, n_d - 1), 0, 0),
+            memory_space=mem,
+        ),
+        pl.BlockSpec((3, cout, 9 * cin), lambda b, d: (0, 0, 0),
+                     memory_space=mem),
+        pl.BlockSpec((cout,), lambda b, d: (0,), memory_space=mem),
+    ]
+    operands = [
+        x.astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
+        w_prep,
+        jnp.asarray(bias, jnp.float32),
+    ]
+    if has_affine:
+        a, c = in_affine
+        # (B, 1, C): the trailing (1, C) block equals the full trailing dims
+        # (Pallas block-shape divisibility rule)
+        in_specs += [
+            pl.BlockSpec((1, 1, cin), lambda b, d: (b, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, 1, cin), lambda b, d: (b, 0, 0),
+                         memory_space=mem),
+        ]
+        operands += [
+            jnp.asarray(a, jnp.float32).reshape(b_, 1, cin),
+            jnp.asarray(c, jnp.float32).reshape(b_, 1, cin),
+        ]
+    out_specs = pl.BlockSpec(
+        (1, 1, cout, s0), lambda b, d: (b, d, 0, 0), memory_space=mem
+    )
+    out_shape = jax.ShapeDtypeStruct((b_, n_d, cout, s0), jnp.bfloat16)
+    if emit_stats:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 1, 2, cout), lambda b, d: (b, d, 0, 0),
+                         memory_space=mem),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b_, n_d, 2, cout), jnp.float32),
+        ]
     return pl.pallas_call(
         kern,
         grid=(b_, n_d),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, cin, s0),
-                lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, cin, s0),
-                lambda b, d: (b, d, 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, cin, s0),
-                lambda b, d: (b, jnp.minimum(d + 1, n_d - 1), 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, cout, 9 * cin),
-                lambda b, d: (0, 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (cout,), lambda b, d: (0,),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, cout, s0),
-            lambda b, d: (b, d, 0, 0),
-            memory_space=pl.ANY if interpret else pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b_, n_d, cout, s0), jnp.bfloat16),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cin, sp), jnp.bfloat16),
             pltpu.VMEM((rolled_rows, sp), rolled_dtype),
             pltpu.VMEM((cout, sp), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        x.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
-        w_prep,
-        jnp.asarray(bias, jnp.float32),
-    )
+    )(*operands)
 
 
 def nchw_from_ndhwc(x):

@@ -287,16 +287,52 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(raw: bytes, compression: int) -> bytes:
+def _decompress(raw: bytes, compression: int, expected_size: int = 0):
+    """Decode one strip/tile. ``expected_size`` (decoded-byte upper bound
+    from the strip geometry) routes LZW/PackBits through the native C++
+    codecs (native/tiff_codec.cpp — stage 1 reads every raw z-plane, and
+    the byte-at-a-time Python LZW decoder is the ingest bottleneck);
+    the Python decoders remain as verification and fallback."""
     if compression == 1:
         return raw
     if compression in (8, 32946):
         return zlib.decompress(raw)
     if compression == 5:
+        if expected_size > 0:
+            out = _decode_strip_native("lzw", raw, expected_size)
+            if out is not None:
+                return out
         return _lzw_decode(raw)
     if compression == 32773:
+        if expected_size > 0:
+            out = _decode_strip_native("packbits", raw, expected_size)
+            if out is not None:
+                return out
         return _packbits_decode(raw)
     raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _decode_strip_native(kind: str, raw: bytes, expected_size: int):
+    try:
+        from delivr_cfos_tpu.native.tiff import decode_native
+    except Exception:
+        return None
+    return decode_native(kind, raw, expected_size)
+
+
+def _decode_strips_page_native(compression: int, jobs: list, dtype):
+    """One-call native decode of a whole strip list; None → Python path."""
+    try:
+        from delivr_cfos_tpu.native.tiff import decode_strips_native
+    except Exception:
+        return None
+    strips = [j[0] for j in jobs]
+    caps = np.asarray([j[3] for j in jobs], np.int64)
+    res = decode_strips_native(compression, strips, caps)
+    if res is None:
+        return None
+    dst, _ = res
+    return np.frombuffer(dst, dtype)
 
 
 def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
@@ -317,7 +353,9 @@ def _decode_page(f, info: TiffPageInfo) -> np.ndarray:
             zip(info.data_offsets, info.data_byte_counts)
         ):
             f.seek(off)
-            raw = _decompress(f.read(cnt), info.compression)
+            raw = _decompress(
+                f.read(cnt), info.compression, tl * tw * spp * itemsize
+            )
             tile = np.frombuffer(raw, info.dtype, count=tl * tw * spp).reshape(
                 tl, tw, spp
             )
@@ -328,20 +366,41 @@ def _decode_page(f, info: TiffPageInfo) -> np.ndarray:
             out[r : r + tl, c : c + tw] = tile
         out = out[:rows, :cols]
     else:
-        out = np.zeros((rows, cols, spp), info.dtype)
+        # read all strips sequentially (disk-friendly), then decode
+        jobs = []
         r = 0
         for off, cnt in zip(info.data_offsets, info.data_byte_counts):
             f.seek(off)
-            raw = _decompress(f.read(cnt), info.compression)
             n_rows = min(info.rows_per_strip, rows - r)
             usable = n_rows * cols * spp * itemsize
+            jobs.append((f.read(cnt), r, n_rows, usable))
+            r += n_rows
+
+        # LZW/PackBits multi-strip fast path: ONE native call decodes every
+        # strip with C++ threads (native/tiff_codec.cpp::tiff_decode_strips);
+        # per-strip Python dispatch costs more than decoding a 2-row strip
+        if info.compression in (5, 32773) and len(jobs) > 1:
+            decoded = _decode_strips_page_native(
+                info.compression, jobs, info.dtype
+            )
+            if decoded is not None:
+                out = decoded.reshape(rows, cols, spp)
+                if info.predictor == 2:
+                    out = _undo_predictor(out, 2)
+                out = np.ascontiguousarray(
+                    out.astype(info.dtype.newbyteorder("="))
+                )
+                return out[:, :, 0] if spp == 1 else out
+
+        out = np.zeros((rows, cols, spp), info.dtype)
+        for raw_bytes, r0, n_rows, usable in jobs:
+            raw = _decompress(raw_bytes, info.compression, usable)
             strip = np.frombuffer(raw[:usable], info.dtype).reshape(
                 n_rows, cols, spp
             )
             if info.predictor == 2:
                 strip = _undo_predictor(strip.copy(), 2)
-            out[r : r + n_rows] = strip
-            r += n_rows
+            out[r0 : r0 + n_rows] = strip
     out = np.ascontiguousarray(out.astype(info.dtype.newbyteorder("=")))
     return out[:, :, 0] if spp == 1 else out
 

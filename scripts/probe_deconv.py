@@ -183,11 +183,13 @@ def time_variant(name, fn, x, w, b, n_chain=20):
             nxt = carry + y[:, :D, :C, :S].astype(carry.dtype) * 1e-6
             return nxt, y[0, 0, 0, 0]
         out, ys = jax.lax.scan(body, x, None, length=n)
-        return out[0, 0, 0] + ys.sum()
+        return out[0, 0, 0, 0] + ys.sum()
 
     try:
-        r = chain(x, 2)
-        _ = float(np.asarray(r))  # compile + sync (readback)
+        # compile BOTH scan lengths before any timing (a cold chain(n)
+        # call includes its own compilation)
+        _ = float(np.asarray(chain(x, 2)))
+        _ = float(np.asarray(chain(x, 2 + n_chain)))
         t0 = time.perf_counter()
         _ = float(np.asarray(chain(x, 2)))
         t2 = time.perf_counter() - t0

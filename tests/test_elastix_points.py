@@ -83,6 +83,67 @@ def test_bspline_constant_displacement(tmp_path):
     )
 
 
+def _rot(axis, a):
+    c, s = np.cos(a), np.sin(a)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def test_euler_transform(tmp_path):
+    """ITK Euler3DTransform: params (θx, θy, θz, t); R = Rz·Rx·Ry unless
+    ComputeZYX (elastix default false)."""
+    ax, ay, az = 0.3, -0.2, 0.7
+    t = np.array([4.0, -1.0, 2.0])
+    c = np.array([5.0, 6.0, 7.0])
+    f = tmp_path / "TransformParameters.0.txt"
+    f.write_text(
+        '(Transform "EulerTransform")\n'
+        "(NumberOfParameters 6)\n"
+        f"(TransformParameters {ax} {ay} {az} {t[0]} {t[1]} {t[2]})\n"
+        f"(CenterOfRotationPoint {c[0]} {c[1]} {c[2]})\n"
+        '(ComputeZYX "false")\n'
+    )
+    params = read_transform_parameters(str(f))
+    pts = np.random.default_rng(6).uniform(0, 30, (25, 3))
+    R = _rot("z", az) @ _rot("x", ax) @ _rot("y", ay)
+    np.testing.assert_allclose(
+        apply_transform(pts, params), (pts - c) @ R.T + c + t, atol=1e-9
+    )
+    # ComputeZYX flips the composition to Rz·Ry·Rx
+    params["ComputeZYX"] = ["true"]
+    Rzyx = _rot("z", az) @ _rot("y", ay) @ _rot("x", ax)
+    np.testing.assert_allclose(
+        apply_transform(pts, params), (pts - c) @ Rzyx.T + c + t, atol=1e-9
+    )
+
+
+def test_similarity_transform(tmp_path):
+    """ITK Similarity3DTransform: params (versor xyz, t, scale); A = s·R."""
+    theta = 0.8  # rotation about z
+    versor = [0.0, 0.0, np.sin(theta / 2)]
+    t = np.array([1.0, 2.0, 3.0])
+    c = np.array([10.0, 0.0, -5.0])
+    s = 1.25
+    f = tmp_path / "TransformParameters.0.txt"
+    f.write_text(
+        '(Transform "SimilarityTransform")\n'
+        "(NumberOfParameters 7)\n"
+        f"(TransformParameters {versor[0]} {versor[1]} {versor[2]} "
+        f"{t[0]} {t[1]} {t[2]} {s})\n"
+        f"(CenterOfRotationPoint {c[0]} {c[1]} {c[2]})\n"
+    )
+    params = read_transform_parameters(str(f))
+    pts = np.random.default_rng(7).uniform(-20, 20, (25, 3))
+    R = _rot("z", theta)
+    np.testing.assert_allclose(
+        apply_transform(pts, params), (pts - c) @ (s * R).T + c + t,
+        atol=1e-9,
+    )
+
+
 def test_transform_chain_applies_initial_first(tmp_path):
     A1 = np.diag([2.0, 2.0, 2.0])
     f0 = tmp_path / "TransformParameters.0.txt"

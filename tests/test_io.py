@@ -81,6 +81,43 @@ def test_tiff_interop_with_cv2(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_tiff_native_lzw_packbits_decoders(tmp_path):
+    """The C++ strip codecs (native/tiff_codec.cpp) must agree byte-for-byte
+    with the Python reference decoders and read cv2/libtiff-written LZW and
+    PackBits files. Skips if g++ is unavailable."""
+    from delivr_cfos_tpu.native.build import native_available
+    from delivr_cfos_tpu.native.tiff import decode_native
+    from delivr_cfos_tpu.utils.io.tiff import _lzw_decode, _packbits_decode
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(12)
+    # compressible texture: smooth gradient + sparse bright cells
+    img = (
+        np.linspace(0, 2000, 48 * 64).reshape(48, 64)
+        + (rng.random((48, 64)) > 0.97) * 30000
+    ).astype(np.uint16)
+    for code, kind in ((5, "lzw"), (32773, "packbits")):
+        p = str(tmp_path / f"c{code}.tif")
+        assert cv2.imwrite(p, img, [cv2.IMWRITE_TIFF_COMPRESSION, code])
+        np.testing.assert_array_equal(read_tiff(p), img)
+        # strip-level: native == Python decoder on the actual strips
+        for info in tiff_page_infos(p):
+            assert info.compression == code
+            with open(p, "rb") as f:
+                for off, cnt in zip(info.data_offsets, info.data_byte_counts):
+                    f.seek(off)
+                    raw = f.read(cnt)
+                    ref = (
+                        _lzw_decode(raw) if kind == "lzw"
+                        else _packbits_decode(raw)
+                    )
+                    got = decode_native(kind, raw, len(ref) + 16)
+                    assert got is not None
+                    assert bytes(got) == ref
+
+
 def test_tiff_interop_rgb_with_cv2(tmp_path):
     cv2 = pytest.importorskip("cv2")
     rng = np.random.default_rng(5)
