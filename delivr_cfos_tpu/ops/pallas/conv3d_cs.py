@@ -127,9 +127,138 @@ def _kernel(xm1, x0, xp1, w_ref, b_ref, *rest, cin, cout, h, wdt, n_d,
         )
 
 
-@partial(jax.jit, static_argnames=("h", "w", "interpret", "emit_stats"))
+def _auto_planes(n_d, cin, cout, s0, sp, budget=15_500_000) -> int:
+    """Largest planes-per-program that divides D and fits the 16 MB VMEM
+    scoped limit. Estimate (bytes, matches Mosaic's accounting closely
+    enough to have predicted the observed pass/fail boundary): double-
+    buffered input/output blocks + pad + rolled (P-independent) + f32
+    accumulator. cin = 32 @ full res fits P = 4; cin = 64 @ full res only
+    P = 1 (the rolled scratch alone is 7.5 MB there)."""
+    for P in (4, 2, 1):
+        if n_d % P:
+            continue
+        est = (
+            (P + 2) * cin * s0 * 2 * 2   # input blocks, double-buffered
+            + P * cout * s0 * 2 * 2      # output block, double-buffered
+            + cin * sp * 2               # pad scratch
+            + 18 * cin * sp              # rolled scratch (int32 pairs)
+            + P * cout * sp * 4          # f32 accumulator
+        )
+        if est <= budget or P == 1:
+            return P
+    return 1
+
+
+def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
+               has_affine, emit_stats):
+    """Multi-plane program: computes ``planes`` consecutive output z-planes
+    as one (planes·cout)-row accumulator, so the MXU sees M = planes·32
+    instead of 32 (measured 86.7 TFLOP/s at M=64 and 106.5 at M=128 vs
+    33.7 at M=32 — the M-row under-fill IS the conv ceiling; PERF.md r3).
+
+    Tap j ∈ [0, planes+2) is input plane g·P−1+j; it contributes to output
+    plane p (local) with dz = j−p ∈ {0,1,2}, i.e. rows [p0·cout, (p1+1)·cout)
+    of the accumulator with a contiguous slice of the stacked weight matrix
+    [W₂; W₁; W₀] — every dot is all-real-FLOPs (no zero padding).
+    Accumulation order per output plane is dz = 0, 1, 2, identical to the
+    single-plane kernel → bit-identical f32 sums."""
+    P = planes
+    xrefs = refs[: P + 2]
+    w_ref, b_ref = refs[P + 2], refs[P + 3]
+    idx = P + 4
+    if has_affine:
+        a_ref, c_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    out_ref = refs[idx]
+    idx += 1
+    if emit_stats:
+        stats_ref = refs[idx]
+        idx += 1
+    pad_ref, rolled_ref, acc_ref = refs[idx : idx + 3]
+
+    g = pl.program_id(1)
+    sp = (h + 2) * wdt
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    wpos = lane % wdt
+    mask_p = wpos != wdt - 1
+    mask_m = wpos != 0
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for j in range(P + 2):
+        xref = xrefs[j]
+        p0 = max(0, j - 2)
+        p1 = min(P - 1, j)
+        n_p = p1 - p0 + 1
+        # stacked-weight row block: rows are ordered [W2; W1; W0]; output
+        # plane p uses dz = j−p → block index 2−(j−p0) for the first row
+        w_row0 = (2 - (j - p0)) * cout
+
+        def tap_block(xref=xref, p0=p0, n_p=n_p, w_row0=w_row0):
+            plane = xref[0, 0]
+            if has_affine:
+                v = plane.astype(jnp.float32)
+                v = v * a_ref[0, 0][:, None] + c_ref[0, 0][:, None]
+                plane = _mish_f32(v).astype(pad_ref.dtype)
+            pad_ref[:, :wdt] = jnp.zeros((cin, wdt), pad_ref.dtype)
+            pad_ref[:, wdt : wdt + h * wdt] = plane
+            pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), pad_ref.dtype)
+            if interpret:
+                xpad = pad_ref[...].astype(jnp.float32)
+                for t, (dy, dx) in enumerate(_TAPS):
+                    r = jnp.roll(xpad, -(dy * wdt + dx), axis=1)
+                    if dx == 1:
+                        r = jnp.where(mask_p, r, 0)
+                    elif dx == -1:
+                        r = jnp.where(mask_m, r, 0)
+                    rolled_ref[t * cin : (t + 1) * cin, :] = r.astype(
+                        rolled_ref.dtype
+                    )
+                rolled = rolled_ref[...].astype(jnp.bfloat16)
+            else:
+                xi = pltpu.bitcast(pad_ref[...], jnp.int32)
+                half = cin // 2
+                for t, (dy, dx) in enumerate(_TAPS):
+                    shift = (-(dy * wdt + dx)) % sp
+                    r = pltpu.roll(xi, shift=shift, axis=1) if shift else xi
+                    if dx == 1:
+                        r = jnp.where(mask_p, r, 0)
+                    elif dx == -1:
+                        r = jnp.where(mask_m, r, 0)
+                    rolled_ref[t * half : (t + 1) * half, :] = r
+                rolled = pltpu.bitcast(rolled_ref[...], jnp.bfloat16)
+            part = jax.lax.dot_general(
+                w_ref[w_row0 : w_row0 + n_p * cout],
+                rolled,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[p0 * cout : (p0 + n_p) * cout, :] += part
+
+        if j == 0:
+            pl.when(g > 0)(tap_block)
+        elif j == P + 1:
+            pl.when(g < n_groups - 1)(tap_block)
+        else:
+            tap_block()
+
+    for p in range(P):
+        out = (
+            acc_ref[p * cout : (p + 1) * cout, wdt : wdt + h * wdt]
+            + b_ref[...][:, None]
+        )
+        out_ref[0, p] = out.astype(out_ref.dtype)
+        if emit_stats:
+            stats_ref[0, p] = jnp.stack(
+                [jnp.sum(out, axis=1), jnp.sum(out * out, axis=1)]
+            )
+
+
+@partial(
+    jax.jit, static_argnames=("h", "w", "interpret", "emit_stats", "planes")
+)
 def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
-              in_affine=None, emit_stats: bool = False):
+              in_affine=None, emit_stats: bool = False, planes: int = 0):
     """3×3×3 SAME convolution on (B, D, C_in, H·W) bf16 activations.
 
     ``weights``: standard (3, 3, 3, C_in, C_out) (DHWIO); ``bias``: (C_out,).
@@ -143,12 +272,18 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     - ``emit_stats=True`` additionally returns (B, D, 2, C_out) f32 per-plane
       (Σx, Σx²) of the conv output, from which the consumer derives the
       instance-norm mean/var without re-reading the output.
+
+    ``planes``: output z-planes computed per program (MXU M-row packing,
+    _kernel_mp). 0 = auto: the largest of (4, 2, 1) dividing D. Bit-identical
+    output for every value (same f32 accumulation order).
     """
     b_, n_d, cin, s0 = x.shape
     assert s0 == h * w
     cout = weights.shape[-1]
     if not interpret:
         assert cin % 2 == 0, "bf16 pair packing needs even C_in"
+    P = planes or _auto_planes(n_d, cin, cout, h * w, (h + 2) * w)
+    assert n_d % P == 0, f"planes={P} must divide D={n_d}"
     # (3, C_out, 9·C_in): w_prep[dz, co, t·cin + ci] = weights[dz, dy, dx, ci, co]
     w_prep = jnp.transpose(
         jnp.asarray(weights, jnp.float32), (0, 4, 1, 2, 3)
@@ -159,38 +294,67 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     rolled_rows = 9 * cin if interpret else 9 * cin // 2
     rolled_dtype = jnp.bfloat16 if interpret else jnp.int32
     has_affine = in_affine is not None
-    kern = partial(
-        _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d, interpret=interpret,
-        has_affine=has_affine, emit_stats=emit_stats,
-    )
     mem = pl.ANY if interpret else pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, cin, s0),
+    n_groups = n_d // P
+
+    in_specs = []
+    operands = []
+    if P == 1:
+        kern = partial(
+            _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d,
+            interpret=interpret, has_affine=has_affine,
+            emit_stats=emit_stats,
+        )
+        idx_maps = [
             lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0),
-            memory_space=mem,
-        ),
-        pl.BlockSpec(
-            (1, 1, cin, s0),
             lambda b, d: (b, d, 0, 0),
-            memory_space=mem,
-        ),
-        pl.BlockSpec(
-            (1, 1, cin, s0),
             lambda b, d: (b, jnp.minimum(d + 1, n_d - 1), 0, 0),
-            memory_space=mem,
-        ),
-        pl.BlockSpec((3, cout, 9 * cin), lambda b, d: (0, 0, 0),
-                     memory_space=mem),
-        pl.BlockSpec((cout,), lambda b, d: (0,), memory_space=mem),
-    ]
-    operands = [
-        x.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
-        w_prep,
-        jnp.asarray(bias, jnp.float32),
-    ]
+        ]
+        w_operand = w_prep
+        w_spec = pl.BlockSpec((3, cout, 9 * cin), lambda b, d: (0, 0, 0),
+                              memory_space=mem)
+        acc_rows = cout
+    else:
+        kern = partial(
+            _kernel_mp, planes=P, cin=cin, cout=cout, h=h, wdt=w,
+            n_groups=n_groups, interpret=interpret, has_affine=has_affine,
+            emit_stats=emit_stats,
+        )
+        idx_maps = [
+            (lambda j: lambda b, g: (
+                jnp.clip(g * P - 1 + j, 0, n_d - 1) if j in (0, P + 1)
+                else g * P - 1 + j,
+                0, 0,
+            ))(j)
+            for j in range(P + 2)
+        ]
+        # stacked rows [W2; W1; W0] (see _kernel_mp)
+        w_operand = jnp.concatenate(
+            [w_prep[2], w_prep[1], w_prep[0]], axis=0
+        )
+        w_spec = pl.BlockSpec((3 * cout, 9 * cin), lambda b, g: (0, 0),
+                              memory_space=mem)
+        acc_rows = P * cout
+    for im in idx_maps:
+        if P == 1:
+            in_specs.append(
+                pl.BlockSpec((1, 1, cin, s0), im, memory_space=mem)
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, cin, s0),
+                    (lambda im: lambda b, g: (b, *im(b, g)))(im),
+                    memory_space=mem,
+                )
+            )
+        operands.append(x.astype(jnp.bfloat16))
+    in_specs.append(w_spec)
+    operands.append(w_operand)
+    in_specs.append(
+        pl.BlockSpec((cout,), (lambda b, d: (0,)), memory_space=mem)
+    )
+    operands.append(jnp.asarray(bias, jnp.float32))
     if has_affine:
         a, c = in_affine
         # (B, 1, C): the trailing (1, C) block equals the full trailing dims
@@ -206,13 +370,13 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
             jnp.asarray(c, jnp.float32).reshape(b_, 1, cin),
         ]
     out_specs = pl.BlockSpec(
-        (1, 1, cout, s0), lambda b, d: (b, d, 0, 0), memory_space=mem
+        (1, P, cout, s0), lambda b, g: (b, g, 0, 0), memory_space=mem
     )
     out_shape = jax.ShapeDtypeStruct((b_, n_d, cout, s0), jnp.bfloat16)
     if emit_stats:
         out_specs = [
             out_specs,
-            pl.BlockSpec((1, 1, 2, cout), lambda b, d: (b, d, 0, 0),
+            pl.BlockSpec((1, P, 2, cout), lambda b, g: (b, g, 0, 0),
                          memory_space=mem),
         ]
         out_shape = [
@@ -221,14 +385,14 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
         ]
     return pl.pallas_call(
         kern,
-        grid=(b_, n_d),
+        grid=(b_, n_groups),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cin, sp), jnp.bfloat16),
             pltpu.VMEM((rolled_rows, sp), rolled_dtype),
-            pltpu.VMEM((cout, sp), jnp.float32),
+            pltpu.VMEM((acc_rows, sp), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)

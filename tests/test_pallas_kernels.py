@@ -133,6 +133,48 @@ def test_conv3d_cs_compiled_on_tpu():
     assert np.abs(got - ref).max() / denom < 2e-2
 
 
+def test_conv3d_cs_multi_plane_bit_identical():
+    """The M-row-packed multi-plane kernel (planes=2/4, _kernel_mp) is
+    bit-identical to the single-plane kernel: per output plane the taps
+    accumulate in the same dz = 0, 1, 2 order in f32 (PERF.md r3 —
+    the packing exists because M=32 fills a quarter of the MXU's rows)."""
+    import numpy as np
+    from delivr_cfos_tpu.ops.pallas.conv3d_cs import _auto_planes, conv3d_cs
+
+    rng = np.random.default_rng(3)
+    B, D, H, W, CIN, COUT = 2, 8, 8, 16, 4, 6
+    x = jnp.asarray(rng.standard_normal((B, D, CIN, H * W)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, CIN, COUT)) * 0.2).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(COUT).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 1.5, (B, CIN)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 0.3, (B, CIN)).astype(np.float32))
+
+    y1 = np.asarray(conv3d_cs(x, w, b, h=H, w=W, interpret=True, planes=1))
+    for P in (2, 4):
+        yP = np.asarray(conv3d_cs(x, w, b, h=H, w=W, interpret=True, planes=P))
+        np.testing.assert_array_equal(y1, yP)
+    # stats + prologue compose with packing
+    y1s, st1 = conv3d_cs(
+        x, w, b, h=H, w=W, interpret=True, planes=1,
+        emit_stats=True, in_affine=(a, c),
+    )
+    y4s, st4 = conv3d_cs(
+        x, w, b, h=H, w=W, interpret=True, planes=4,
+        emit_stats=True, in_affine=(a, c),
+    )
+    np.testing.assert_array_equal(np.asarray(y1s), np.asarray(y4s))
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st4))
+
+    # the VMEM-budget auto-select: packs the 32-channel full-res conv,
+    # refuses the 64-channel full-res conv (rolled scratch alone 7.5 MB)
+    assert _auto_planes(96, 32, 32, 6144, 6528) == 4
+    assert _auto_planes(96, 64, 32, 6144, 6528) == 1
+    assert _auto_planes(48, 64, 64, 1536, 1632) == 4
+    assert _auto_planes(95, 32, 32, 6144, 6528) == 1  # D not divisible
+
+
 def test_conv3d_cs_stats_and_prologue():
     """conv3d_cs emit_stats returns per-plane Σx/Σx² of the conv output,
     and in_affine applies mish(x·a + c) to the input inside the kernel,
