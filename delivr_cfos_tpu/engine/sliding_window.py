@@ -76,6 +76,16 @@ def auto_batch_size(
     dominate — about 6 live (roi·f0)-sized tensors during the decoder's
     first-level TwoConv (skip + deconv out + concat + conv outputs), plus
     the same again at half resolution ≈ 8 × roi × f0 × dtype bytes.
+
+    Calibration status (r3, scripts/calibrate_batch.py): the axon backend
+    zeroes ``memory_stats()``, so the estimate was checked by probing the
+    OOM boundary instead — a batch-96 fast-mode forward runs on a 16 GB
+    chip where this model predicts 27 GB, i.e. the estimate is ≥ 2×
+    conservative (XLA's live set is smaller than the sum of logical
+    intermediates). Kept conservative deliberately: measured per-window
+    throughput is flat from batch 4 to 16 (5.17 → 5.33 ms/window), so
+    under-sizing costs nothing while over-sizing risks OOM alongside
+    resident volumes.
     """
     try:
         stats = jax.devices()[0].memory_stats() or {}

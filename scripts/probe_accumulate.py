@@ -1,11 +1,12 @@
 """TPU probe: overlap-add accumulation formulations for the sliding-window
-engine. The engine's `_accumulate_windows` is a serial fori_loop of
-dynamic_update_slice pairs (acc + cnt) — one dependency chain of ~300
-window updates per bench volume (~10% of engine wall). Candidates:
+engine, at the engine's real shapes (the bench volume's window set, batched
+(NB, B, ...) exactly like `_accumulate_logits_pass`).
 
-  A  current: fori_loop, per-window dynamic_update_slice on acc and cnt
-  B  scatter-add on acc only (cnt would become analytic: the count map is
-     data-independent — coverage × passes — so it needs no accumulation)
+  A  current: scan over batches, inner fori of dynamic_update_slice pairs
+  B  scatter-add per batch inside the scan (acc), cnt via a second scatter
+
+Timing: python-loop with host readback per call (each call is ≫ the ~30 ms
+dispatch floor; both variants carry the same floor).
 
 Run: python scripts/probe_accumulate.py   (TPU host)
 """
@@ -22,12 +23,14 @@ import jax
 import jax.numpy as jnp
 
 from delivr_cfos_tpu.engine.sliding_window import (
-    _accumulate_windows,
+    _accumulate_logits_pass,
+    _to_batched,
     dense_patch_starts,
 )
 
 SHAPE = (192, 480, 384)
 ROI = (96, 96, 64)
+BATCH = 16
 
 _SCATTER_DIMS = jax.lax.ScatterDimensionNumbers(
     update_window_dims=(1, 2, 3),
@@ -36,79 +39,70 @@ _SCATTER_DIMS = jax.lax.ScatterDimensionNumbers(
 )
 
 
-def variant_a(acc, cnt, starts, contrib, valid):
-    return _accumulate_windows(acc, cnt, starts, contrib, valid, ROI)
+@functools.partial(jax.jit, donate_argnames=("acc", "cnt"))
+def scatter_pass(acc, cnt, starts_nb, valid_nb, logits_nb):
+    def body(carry, inp):
+        acc, cnt = carry
+        starts, valid, contrib = inp
+        w = valid.astype(jnp.float32)[:, None, None, None]
+        acc = jax.lax.scatter_add(
+            acc, starts, contrib * w, _SCATTER_DIMS,
+            indices_are_sorted=False, unique_indices=False,
+        )
+        ones = jnp.broadcast_to(
+            valid.astype(jnp.int32)[:, None, None, None],
+            contrib.shape,
+        )
+        cnt = jax.lax.scatter_add(
+            cnt, starts, ones, _SCATTER_DIMS,
+            indices_are_sorted=False, unique_indices=False,
+        )
+        return (acc, cnt), None
 
-
-def variant_b(acc, cnt, starts, contrib, valid):
-    w = valid.astype(jnp.float32)[:, None, None, None]
-    acc = jax.lax.scatter_add(
-        acc, starts, contrib * w, _SCATTER_DIMS,
-        indices_are_sorted=True, unique_indices=False,
+    (acc, cnt), _ = jax.lax.scan(
+        body, (acc, cnt), (starts_nb, valid_nb, logits_nb)
     )
     return acc, cnt
 
 
-def time_variant(name, fn, n=6):
+def main():
     starts_np = dense_patch_starts(SHAPE, ROI, 0.5)
-    starts = jnp.asarray(starts_np)
-    rng = jax.random.PRNGKey(0)
-    contrib = jax.random.normal(rng, (starts_np.shape[0], *ROI), jnp.float32)
-    valid = jnp.ones((starts_np.shape[0],), jnp.int32)
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def run(reps):
-        def body(carry, _):
-            acc, cnt = carry
-            acc, cnt = fn(acc, cnt, starts, contrib, valid)
-            return (acc * 0.5, cnt), acc[0, 0, 0]
-
-        init = (
-            jnp.zeros(SHAPE, jnp.float32),
-            jnp.zeros(SHAPE, jnp.int32),
-        )
-        (acc, cnt), ys = jax.lax.scan(body, init, None, length=reps)
-        return acc[0, 0, 0] + cnt[0, 0, 0] + ys.sum()
-
-    try:
-        _ = float(np.asarray(run(1)))
-        _ = float(np.asarray(run(1 + n)))
-        t0 = time.perf_counter()
-        _ = float(np.asarray(run(1)))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = float(np.asarray(run(1 + n)))
-        tn = time.perf_counter() - t0
-        ms = (tn - t1) / n * 1000
-        print(f"{name}: {ms:.1f} ms per full-volume accumulate "
-              f"({starts_np.shape[0]} windows)", flush=True)
-    except Exception as e:
-        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:400]}", flush=True)
-
-
-def check_equal():
-    shape = (96, 192, 128)
-    starts_np = dense_patch_starts(shape, ROI, 0.5)
-    starts = jnp.asarray(starts_np)
-    contrib = jax.random.normal(
-        jax.random.PRNGKey(1), (starts_np.shape[0], *ROI), jnp.float32
+    starts_nb, valid_nb = _to_batched(starts_np, BATCH)
+    nb = starts_nb.shape[0]
+    logits_nb = jax.random.normal(
+        jax.random.PRNGKey(0), (nb, BATCH, *ROI), jnp.float32
     )
-    valid = jnp.ones((starts_np.shape[0],), jnp.int32).at[-1].set(0)
-    acc0 = jnp.zeros(shape, jnp.float32)
-    cnt0 = jnp.zeros(shape, jnp.int32)
+    print(f"{starts_np.shape[0]} windows, {nb} batches of {BATCH}")
 
-    def a():
-        return _accumulate_windows(acc0, cnt0, starts, contrib, valid, ROI)
+    def timeit(name, fn, n=8):
+        try:
+            acc = jnp.zeros(SHAPE, jnp.float32)
+            cnt = jnp.zeros(SHAPE, jnp.int32)
+            acc, cnt = fn(acc, cnt, starts_nb, valid_nb, logits_nb)
+            _ = float(np.asarray(acc[0, 0, 0]))  # compile+sync
+            t0 = time.perf_counter()
+            for _i in range(n):
+                acc2, cnt2 = fn(acc, cnt, starts_nb, valid_nb, logits_nb)
+                acc, cnt = acc2, cnt2
+                _ = float(np.asarray(acc[0, 0, 0]))
+            ms = (time.perf_counter() - t0) / n * 1000
+            print(f"{name}: {ms:.1f} ms/full-volume pass (incl. ~30 ms "
+                  f"dispatch floor)", flush=True)
+            return acc, cnt
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            return None, None
 
-    a_acc, _ = jax.jit(a)()
-    b_acc, _ = jax.jit(
-        lambda: variant_b(acc0, cnt0, starts, contrib, valid)
-    )()
-    print("acc maxdiff A vs B:", float(jnp.abs(a_acc - b_acc).max()),
-          flush=True)
+    def pass_a(acc, cnt, s, v, l):
+        return _accumulate_logits_pass(acc, cnt, s, v, l, roi=ROI)
+
+    a_acc, a_cnt = timeit("A fori pass", pass_a)
+    b_acc, b_cnt = timeit("B scatter pass", scatter_pass)
+    if a_acc is not None and b_acc is not None:
+        print("cnt equal:", bool(jnp.array_equal(a_cnt, b_cnt)))
+        print("acc maxdiff:", float(jnp.abs(a_acc - b_acc).max()))
 
 
 if __name__ == "__main__":
-    check_equal()
-    time_variant("A fori (acc+cnt)", variant_a)
-    time_variant("B scatter (acc only)", variant_b)
+    main()
