@@ -131,16 +131,25 @@ def _two_conv_cs(x, p, h, wd):
         return _conv_block_cs(x, p["conv_1"], h, wd)
     p0, p1 = p["conv_0"], p["conv_1"]
     n_vox = x.shape[1] * h * wd  # (D, S) per (B, C)
-    y0, st0 = _conv_stats_cs(x, p0["w"], p0["b"], h, wd)
+    # conv biases are omitted: exactly cancelled by each IN (see
+    # _conv_stats_cs) — y0/y1 are biasless but a·y' + c reproduces the
+    # biased IN output bit-for-bit at the math level
+    y0, st0 = _conv_stats_cs(x, p0["w"], h, wd)
     a0, c0 = _in_affine_from_stats(st0, p0["scale"], p0["bias"], n_vox)
     y0 = _affine_mish_cs(y0, a0, c0)
-    y1, st1 = _conv_stats_cs(y0, p1["w"], p1["b"], h, wd)
+    y1, st1 = _conv_stats_cs(y0, p1["w"], h, wd)
     a1, c1 = _in_affine_from_stats(st1, p1["scale"], p1["bias"], n_vox)
     return _affine_mish_cs(y1, a1, c1)
 
 
-def _conv_stats_cs(x, w, b, h, wd):
-    """Pallas conv with stats output; pads odd C_in like _conv_cs."""
+def _conv_stats_cs(x, w, h, wd):
+    """Pallas conv with stats output; pads odd C_in like _conv_cs.
+
+    Passes ``bias=None``: the conv bias is a mathematical no-op under the
+    InstanceNorm that follows (IN subtracts the per-(B, C) mean and the
+    bias also cancels out of the stats→affine derivation — variance is
+    shift-invariant, and c = bias_IN − mean·a is identical computed from
+    biasless statistics), so the kernel never stages the bias operand."""
     if x.shape[2] % 2:
         x = jnp.concatenate(
             [x, jnp.zeros((*x.shape[:2], 1, x.shape[3]), x.dtype)], axis=2
@@ -148,7 +157,7 @@ def _conv_stats_cs(x, w, b, h, wd):
         w = jnp.concatenate(
             [w, jnp.zeros((*w.shape[:3], 1, w.shape[4]), w.dtype)], axis=3
         )
-    return conv3d_cs(x, w, b, h=h, w=wd, interpret=_interpret(),
+    return conv3d_cs(x, w, None, h=h, w=wd, interpret=_interpret(),
                      emit_stats=True)
 
 

@@ -43,13 +43,17 @@ def _mish_f32(v):
     return v * jnp.tanh(jax.nn.softplus(v))
 
 
-def _kernel(xm1, x0, xp1, w_ref, b_ref, *rest, cin, cout, h, wdt, n_d,
-            interpret, has_affine, emit_stats):
-    """rest = [a_ref, c_ref]? + out_ref [+ stats_ref] + scratch refs."""
+def _kernel(xm1, x0, xp1, w_ref, *rest, cin, cout, h, wdt, n_d,
+            interpret, has_affine, has_bias, emit_stats):
+    """rest = [b_ref]? + [a_ref, c_ref]? + out_ref [+ stats_ref] + scratch."""
     idx = 0
+    b_ref = None
+    if has_bias:
+        b_ref = rest[0]
+        idx = 1
     if has_affine:
-        a_ref, c_ref = rest[0], rest[1]
-        idx = 2
+        a_ref, c_ref = rest[idx], rest[idx + 1]
+        idx += 2
     out_ref = rest[idx]
     idx += 1
     if emit_stats:
@@ -116,7 +120,9 @@ def _kernel(xm1, x0, xp1, w_ref, b_ref, *rest, cin, cout, h, wdt, n_d,
         else:
             pl.when(guard)(tap_block)
 
-    out = acc_ref[:, wdt : wdt + h * wdt] + b_ref[...][:, None]
+    out = acc_ref[:, wdt : wdt + h * wdt]
+    if has_bias:
+        out = out + b_ref[...][:, None]
     out_ref[0, 0] = out.astype(out_ref.dtype)
     if emit_stats:
         # per-plane Σx / Σx² of the f32 (pre-bf16) conv output, for the
@@ -150,7 +156,7 @@ def _auto_planes(n_d, cin, cout, s0, sp, budget=15_500_000) -> int:
 
 
 def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
-               has_affine, emit_stats):
+               has_affine, has_bias, emit_stats):
     """Multi-plane program: computes ``planes`` consecutive output z-planes
     as one (planes·cout)-row accumulator, so the MXU sees M = planes·32
     instead of 32 (measured 86.7 TFLOP/s at M=64 and 106.5 at M=128 vs
@@ -164,8 +170,12 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
     single-plane kernel → bit-identical f32 sums."""
     P = planes
     xrefs = refs[: P + 2]
-    w_ref, b_ref = refs[P + 2], refs[P + 3]
-    idx = P + 4
+    w_ref = refs[P + 2]
+    idx = P + 3
+    b_ref = None
+    if has_bias:
+        b_ref = refs[idx]
+        idx += 1
     if has_affine:
         a_ref, c_ref = refs[idx], refs[idx + 1]
         idx += 2
@@ -243,10 +253,9 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
             tap_block()
 
     for p in range(P):
-        out = (
-            acc_ref[p * cout : (p + 1) * cout, wdt : wdt + h * wdt]
-            + b_ref[...][:, None]
-        )
+        out = acc_ref[p * cout : (p + 1) * cout, wdt : wdt + h * wdt]
+        if has_bias:
+            out = out + b_ref[...][:, None]
         out_ref[0, p] = out.astype(out_ref.dtype)
         if emit_stats:
             stats_ref[0, p] = jnp.stack(
@@ -276,6 +285,14 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     ``planes``: output z-planes computed per program (MXU M-row packing,
     _kernel_mp). 0 = auto: the largest of (4, 2, 1) dividing D. Bit-identical
     output for every value (same f32 accumulation order).
+
+    ``bias=None`` omits the bias operand and add entirely. A per-channel
+    bias is mathematically a no-op under the InstanceNorm that follows
+    every conv in this model (IN subtracts the per-(B, C) mean, and the
+    bias also cancels out of the stats→affine derivation: variance is
+    shift-invariant and c = bias_IN − mean·a is identical computed from
+    biasless stats) — the fused model path passes None so the tiny f32
+    bias operand never stages at the Pallas call boundary.
     """
     b_, n_d, cin, s0 = x.shape
     assert s0 == h * w
@@ -294,6 +311,7 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     rolled_rows = 9 * cin if interpret else 9 * cin // 2
     rolled_dtype = jnp.bfloat16 if interpret else jnp.int32
     has_affine = in_affine is not None
+    has_bias = bias is not None
     mem = pl.ANY if interpret else pltpu.VMEM
     n_groups = n_d // P
 
@@ -302,7 +320,7 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     if P == 1:
         kern = partial(
             _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d,
-            interpret=interpret, has_affine=has_affine,
+            interpret=interpret, has_affine=has_affine, has_bias=has_bias,
             emit_stats=emit_stats,
         )
         idx_maps = [
@@ -318,7 +336,7 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
         kern = partial(
             _kernel_mp, planes=P, cin=cin, cout=cout, h=h, wdt=w,
             n_groups=n_groups, interpret=interpret, has_affine=has_affine,
-            emit_stats=emit_stats,
+            has_bias=has_bias, emit_stats=emit_stats,
         )
         idx_maps = [
             (lambda j: lambda b, g: (
@@ -351,10 +369,11 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
         operands.append(x.astype(jnp.bfloat16))
     in_specs.append(w_spec)
     operands.append(w_operand)
-    in_specs.append(
-        pl.BlockSpec((cout,), (lambda b, d: (0,)), memory_space=mem)
-    )
-    operands.append(jnp.asarray(bias, jnp.float32))
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((cout,), (lambda b, d: (0,)), memory_space=mem)
+        )
+        operands.append(jnp.asarray(bias, jnp.float32))
     if has_affine:
         a, c = in_affine
         # (B, 1, C): the trailing (1, C) block equals the full trailing dims
