@@ -133,13 +133,33 @@ def _kernel(xm1, x0, xp1, w_ref, *rest, cin, cout, h, wdt, n_d,
         )
 
 
+_CIN_CHUNK = 32  # tap chunk for wide inputs (explicit planes only)
+_CHUNK_ROLLED_LIMIT = 4_000_000  # unchunked rolled scratch above this chunks
+
+
+def _chunk_of(cin: int, sp: int) -> int:
+    """Tap chunk width for the mp kernel: unchunked while the rolled
+    scratch stays small (the K=9·cin single dot pipelines better than
+    split chunks — measured 67.9 vs 62.9 TFLOP/s at cin=64), chunked to
+    32 channels only when the unchunked scratch would not fit (lets
+    explicitly-requested packings of wide convs compile at all)."""
+    if (
+        cin > _CIN_CHUNK
+        and cin % _CIN_CHUNK == 0
+        and 18 * cin * sp > _CHUNK_ROLLED_LIMIT
+    ):
+        return _CIN_CHUNK
+    return cin
+
+
 def _auto_planes(n_d, cin, cout, s0, sp, budget=15_500_000) -> int:
     """Largest planes-per-program that divides D and fits the 16 MB VMEM
-    scoped limit. Estimate (bytes, matches Mosaic's accounting closely
-    enough to have predicted the observed pass/fail boundary): double-
-    buffered input/output blocks + pad + rolled (P-independent) + f32
-    accumulator. cin = 32 @ full res fits P = 4; cin = 64 @ full res only
-    P = 1 (the rolled scratch alone is 7.5 MB there)."""
+    scoped limit with UNCHUNKED taps. Estimate (bytes, matches Mosaic's
+    accounting closely enough to have predicted the observed pass/fail
+    boundary): double-buffered input/output blocks + pad + rolled + f32
+    accumulator. cin = 32 @ full res fits P = 4; cin = 64 @ full res
+    stays P = 1 (chunked P = 2 fits but measured slower — K = 576
+    already pipelines the MXU well)."""
     for P in (4, 2, 1):
         if n_d % P:
             continue
@@ -167,7 +187,12 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
     of the accumulator with a contiguous slice of the stacked weight matrix
     [W₂; W₁; W₀] — every dot is all-real-FLOPs (no zero padding).
     Accumulation order per output plane is dz = 0, 1, 2, identical to the
-    single-plane kernel → bit-identical f32 sums."""
+    single-plane kernel → bit-identical f32 sums (for a single cin chunk).
+
+    Wide inputs are processed in ≤ 32-channel chunks (the pad/rolled
+    scratch stays 32-channel-sized, which is what lets cin = 64 pack at
+    P = 2 within VMEM); chunk partials accumulate into the same f32
+    accumulator — bf16-rounding-level difference vs a single K-576 dot."""
     P = planes
     xrefs = refs[: P + 2]
     w_ref = refs[P + 2]
@@ -195,6 +220,9 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    chunk = _chunk_of(cin, sp)
+    n_chunks = cin // chunk
+
     for j in range(P + 2):
         xref = xrefs[j]
         p0 = max(0, j - 2)
@@ -205,45 +233,54 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
         w_row0 = (2 - (j - p0)) * cout
 
         def tap_block(xref=xref, p0=p0, n_p=n_p, w_row0=w_row0):
-            plane = xref[0, 0]
-            if has_affine:
-                v = plane.astype(jnp.float32)
-                v = v * a_ref[0, 0][:, None] + c_ref[0, 0][:, None]
-                plane = _mish_f32(v).astype(pad_ref.dtype)
-            pad_ref[:, :wdt] = jnp.zeros((cin, wdt), pad_ref.dtype)
-            pad_ref[:, wdt : wdt + h * wdt] = plane
-            pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), pad_ref.dtype)
-            if interpret:
-                xpad = pad_ref[...].astype(jnp.float32)
-                for t, (dy, dx) in enumerate(_TAPS):
-                    r = jnp.roll(xpad, -(dy * wdt + dx), axis=1)
-                    if dx == 1:
-                        r = jnp.where(mask_p, r, 0)
-                    elif dx == -1:
-                        r = jnp.where(mask_m, r, 0)
-                    rolled_ref[t * cin : (t + 1) * cin, :] = r.astype(
-                        rolled_ref.dtype
-                    )
-                rolled = rolled_ref[...].astype(jnp.bfloat16)
-            else:
-                xi = pltpu.bitcast(pad_ref[...], jnp.int32)
-                half = cin // 2
-                for t, (dy, dx) in enumerate(_TAPS):
-                    shift = (-(dy * wdt + dx)) % sp
-                    r = pltpu.roll(xi, shift=shift, axis=1) if shift else xi
-                    if dx == 1:
-                        r = jnp.where(mask_p, r, 0)
-                    elif dx == -1:
-                        r = jnp.where(mask_m, r, 0)
-                    rolled_ref[t * half : (t + 1) * half, :] = r
-                rolled = pltpu.bitcast(rolled_ref[...], jnp.bfloat16)
-            part = jax.lax.dot_general(
-                w_ref[w_row0 : w_row0 + n_p * cout],
-                rolled,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[p0 * cout : (p0 + n_p) * cout, :] += part
+            for q in range(n_chunks):
+                plane = xref[0, 0][q * chunk : (q + 1) * chunk]
+                if has_affine:
+                    v = plane.astype(jnp.float32)
+                    av = a_ref[0, 0][q * chunk : (q + 1) * chunk]
+                    cv = c_ref[0, 0][q * chunk : (q + 1) * chunk]
+                    v = v * av[:, None] + cv[:, None]
+                    plane = _mish_f32(v).astype(pad_ref.dtype)
+                pad_ref[:, :wdt] = jnp.zeros((chunk, wdt), pad_ref.dtype)
+                pad_ref[:, wdt : wdt + h * wdt] = plane
+                pad_ref[:, wdt + h * wdt :] = jnp.zeros(
+                    (chunk, wdt), pad_ref.dtype
+                )
+                if interpret:
+                    xpad = pad_ref[...].astype(jnp.float32)
+                    for t, (dy, dx) in enumerate(_TAPS):
+                        r = jnp.roll(xpad, -(dy * wdt + dx), axis=1)
+                        if dx == 1:
+                            r = jnp.where(mask_p, r, 0)
+                        elif dx == -1:
+                            r = jnp.where(mask_m, r, 0)
+                        rolled_ref[t * chunk : (t + 1) * chunk, :] = r.astype(
+                            rolled_ref.dtype
+                        )
+                    rolled = rolled_ref[...].astype(jnp.bfloat16)
+                else:
+                    xi = pltpu.bitcast(pad_ref[...], jnp.int32)
+                    half = chunk // 2
+                    for t, (dy, dx) in enumerate(_TAPS):
+                        shift = (-(dy * wdt + dx)) % sp
+                        r = (
+                            pltpu.roll(xi, shift=shift, axis=1)
+                            if shift
+                            else xi
+                        )
+                        if dx == 1:
+                            r = jnp.where(mask_p, r, 0)
+                        elif dx == -1:
+                            r = jnp.where(mask_m, r, 0)
+                        rolled_ref[t * half : (t + 1) * half, :] = r
+                    rolled = pltpu.bitcast(rolled_ref[...], jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    w_ref[q, w_row0 : w_row0 + n_p * cout],
+                    rolled,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_ref[p0 * cout : (p0 + n_p) * cout, :] += part
 
         if j == 0:
             pl.when(g > 0)(tap_block)
@@ -301,14 +338,16 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
         assert cin % 2 == 0, "bf16 pair packing needs even C_in"
     P = planes or _auto_planes(n_d, cin, cout, h * w, (h + 2) * w)
     assert n_d % P == 0, f"planes={P} must divide D={n_d}"
-    # (3, C_out, 9·C_in): w_prep[dz, co, t·cin + ci] = weights[dz, dy, dx, ci, co]
-    w_prep = jnp.transpose(
+    # (3, C_out, 9, C_in): w_prep4[dz, co, t, ci] = weights[dz, dy, dx, ci, co]
+    w_prep4 = jnp.transpose(
         jnp.asarray(weights, jnp.float32), (0, 4, 1, 2, 3)
-    ).reshape(3, cout, 9, cin)
-    w_prep = w_prep.reshape(3, cout, 9 * cin).astype(jnp.bfloat16)
+    ).reshape(3, cout, 9, cin).astype(jnp.bfloat16)
+    w_prep = w_prep4.reshape(3, cout, 9 * cin)
 
     sp = (h + 2) * w
-    rolled_rows = 9 * cin if interpret else 9 * cin // 2
+    # mp path chunks taps to ≤ 32 channels; P=1 path is unchunked
+    scratch_cin = cin if P == 1 else _chunk_of(cin, sp)
+    rolled_rows = 9 * scratch_cin if interpret else 9 * scratch_cin // 2
     rolled_dtype = jnp.bfloat16 if interpret else jnp.int32
     has_affine = in_affine is not None
     has_bias = bias is not None
@@ -346,12 +385,26 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
             ))(j)
             for j in range(P + 2)
         ]
-        # stacked rows [W2; W1; W0] (see _kernel_mp)
-        w_operand = jnp.concatenate(
-            [w_prep[2], w_prep[1], w_prep[0]], axis=0
+        # per cin-chunk stacked rows [W2; W1; W0] (see _kernel_mp)
+        chunk = _chunk_of(cin, sp)
+        n_chunks = cin // chunk
+        w_operand = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        w_prep4[dz, :, :, q * chunk : (q + 1) * chunk]
+                        .reshape(cout, 9 * chunk)
+                        for dz in (2, 1, 0)
+                    ],
+                    axis=0,
+                )
+                for q in range(n_chunks)
+            ]
+        )  # (n_chunks, 3·cout, 9·chunk)
+        w_spec = pl.BlockSpec(
+            (n_chunks, 3 * cout, 9 * chunk), lambda b, g: (0, 0, 0),
+            memory_space=mem,
         )
-        w_spec = pl.BlockSpec((3 * cout, 9 * cin), lambda b, g: (0, 0),
-                              memory_space=mem)
         acc_rows = P * cout
     for im in idx_maps:
         if P == 1:
@@ -409,7 +462,7 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((cin, sp), jnp.bfloat16),
+            pltpu.VMEM((scratch_cin, sp), jnp.bfloat16),
             pltpu.VMEM((rolled_rows, sp), rolled_dtype),
             pltpu.VMEM((acc_rows, sp), jnp.float32),
         ],

@@ -167,12 +167,44 @@ def test_conv3d_cs_multi_plane_bit_identical():
     np.testing.assert_array_equal(np.asarray(y1s), np.asarray(y4s))
     np.testing.assert_array_equal(np.asarray(st1), np.asarray(st4))
 
-    # the VMEM-budget auto-select: packs the 32-channel full-res conv,
-    # refuses the 64-channel full-res conv (rolled scratch alone 7.5 MB)
+    # the VMEM-budget auto-select: packs the 32-channel full-res conv at 4;
+    # the 64-channel full-res conv stays at 1 (unchunked P=2 doesn't fit
+    # VMEM and the chunked form measured slower — K=576 pipelines well)
     assert _auto_planes(96, 32, 32, 6144, 6528) == 4
     assert _auto_planes(96, 64, 32, 6144, 6528) == 1
     assert _auto_planes(48, 64, 64, 1536, 1632) == 4
     assert _auto_planes(95, 32, 32, 6144, 6528) == 1  # D not divisible
+
+
+def test_conv3d_cs_cin_chunked_matches(monkeypatch):
+    """Explicit wide-conv packings chunk the taps to 32 channels (so the
+    rolled scratch fits VMEM); the chunked mp kernel matches the unchunked
+    single-plane kernel (f32-accumulator order)."""
+    import importlib
+
+    import numpy as np
+
+    mod = importlib.import_module("delivr_cfos_tpu.ops.pallas.conv3d_cs")
+
+    # force chunking at this tiny probe shape
+    monkeypatch.setattr(mod, "_CHUNK_ROLLED_LIMIT", 0)
+    rng = np.random.default_rng(5)
+    B, D, H, W, CIN, COUT = 1, 4, 8, 16, 64, 6
+    x = jnp.asarray(
+        rng.standard_normal((B, D, CIN, H * W)).astype(np.float32) * 0.3
+    )
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, CIN, COUT)) * 0.1).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(COUT).astype(np.float32))
+    assert mod._chunk_of(CIN, (H + 2) * W) == 32
+    y1 = np.asarray(
+        mod.conv3d_cs(x, w, b, h=H, w=W, interpret=True, planes=1), np.float32
+    )
+    y2 = np.asarray(
+        mod.conv3d_cs(x, w, b, h=H, w=W, interpret=True, planes=2), np.float32
+    )
+    assert np.abs(y1 - y2).max() < 0.05
 
 
 def test_conv3d_cs_stats_and_prologue():
