@@ -2,28 +2,33 @@
 
 The BASELINE north star asks for fused Pallas conv3d kernels in the hot
 path. XLA's 3D conv emitter reaches ~16 TFLOP/s on this model's
-32-channel convolutions (PERF.md); the MXU output-lane ceiling for
-C_out = 32 is ~34 TFLOP/s. This kernel reaches **33.7 TFLOP/s** on the
-production layer shape (chain-probe, v5e) — 2.1× XLA — by:
+32-channel convolutions; this kernel reaches **83.5 TFLOP/s real** on
+the production 32→32 layer shape (chain-probe, v5e; PERF.md r3) by:
 
 - laying activations out as (C, S) with S = flattened rows in the 128
   lanes (a 32-channel NDHWC tensor wastes 3/4 of every lane-tile);
 - building the 27 im2col taps as VMEM lane-rotations of the plane,
   with bf16 pairs bitcast to int32 so one rotate moves two channels
   (Mosaic has no native bf16 rotate);
-- contracting per z-tap with K = 9·C_in dots accumulated in f32.
+- contracting per z-tap with K = 9·C_in dots accumulated in f32;
+- **multi-plane M-row packing** (r3): one program computes P consecutive
+  output z-planes as a (P·C_out)-row accumulator — C_out = 32 alone
+  fills only a quarter of the MXU's 128 rows (33.7 TFLOP/s); the tap-j/
+  output-p structure keeps every dot all-real-FLOPs and the result
+  bit-identical to P = 1 (`_kernel_mp`, `_auto_planes`);
+- optional fused-IN features: per-plane Σx/Σx² side output
+  (``emit_stats``) and in-kernel normalize+mish prologue (``in_affine``);
+  conv bias is droppable (``bias=None``) since InstanceNorm cancels it.
 
-Grid: one program per (batch, output z-plane); each program reads the
-three contributing input planes (edge planes predicated off), pads two
-guard rows for the dy taps, masks the dx row-wrap lanes, and writes one
-output plane with the bias fused.
+Grid: one program per (batch, output z-plane group); each program reads
+the P+2 contributing input planes (edge planes predicated off), pads two
+guard rows for the dy taps, and masks the dx row-wrap lanes.
 
 This IS the default fast-mode inference conv (models/basic_unet_cs.py
 runs the whole forward natively in (B, D, C, H·W), so no full-resolution
-layout conversion surrounds the kernel — 50 vs 91 ms per batch-8 window
-pass against the NDHWC XLA path; PERF.md "kernel v2"). The production
-pipeline reaches it via ``blob_detection.precision: fast`` (default on
-TPU through 'auto'; pipeline/stage02_inference.py:resolve_model_config).
+layout conversion surrounds the kernel). The production pipeline reaches
+it via ``blob_detection.precision: fast`` (default on TPU through
+'auto'; pipeline/stage02_inference.py:resolve_model_config).
 """
 
 from __future__ import annotations
