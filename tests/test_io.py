@@ -118,6 +118,23 @@ def test_tiff_native_lzw_packbits_decoders(tmp_path):
                     assert bytes(got) == ref
 
 
+def test_tiff_native_page_decode_odd_dims(tmp_path):
+    """The one-call native page decoder handles odd dimensions (short last
+    strip, odd row length) identically to libtiff's own reading."""
+    from delivr_cfos_tpu.native.build import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(13)
+    for shape in ((45, 63), (7, 129), (201, 31)):
+        img = (rng.random(shape) * 65535).astype(np.uint16)
+        for code in (5, 32773):
+            p = str(tmp_path / f"odd_{shape[0]}x{shape[1]}_{code}.tif")
+            assert cv2.imwrite(p, img, [cv2.IMWRITE_TIFF_COMPRESSION, code])
+            np.testing.assert_array_equal(read_tiff(p), img)
+
+
 def test_tiff_interop_rgb_with_cv2(tmp_path):
     cv2 = pytest.importorskip("cv2")
     rng = np.random.default_rng(5)
