@@ -37,9 +37,11 @@ def decode_strips_native(
     """Decode all LZW (kind 5) / PackBits (kind 32773) strips of a page in
     ONE native call, multi-threaded in C++ (the per-strip ctypes round trip
     costs more than decoding a common 2-row strip). ``strips`` is a list of
-    compressed bytes; ``dst_caps`` the decoded size per strip. Returns a
-    uint8 array holding the concatenated decoded strips (zero-padded to
-    each strip's cap) plus the per-strip offsets, or None on fallback."""
+    compressed bytes; ``dst_caps`` the EXACT decoded size per strip (short
+    last strips get a reduced cap upstream). Returns a uint8 array holding
+    the concatenated decoded strips plus the per-strip offsets, or None on
+    fallback — including any strip decoding short of its cap, so truncated
+    streams surface via the loud Python decoder instead of black rows."""
     lib = get_library()
     if lib is None or not strips:
         return None
@@ -47,17 +49,24 @@ def decode_strips_native(
         n_threads = min(8, os.cpu_count() or 1)
     src = b"".join(strips)
     src_lens = np.asarray([len(s) for s in strips], np.int64)
-    src_offs = np.concatenate([[0], np.cumsum(src_lens)[:-1]])
+    # keep every converted array bound to a local before taking .ctypes.data:
+    # an inline ascontiguousarray(...) temporary could be freed before the
+    # C call runs if the conversion ever copies
+    src_offs = np.ascontiguousarray(
+        np.concatenate([[0], np.cumsum(src_lens)[:-1]]), np.int64
+    )
     caps = np.ascontiguousarray(dst_caps, np.int64)
-    dst_offs = np.concatenate([[0], np.cumsum(caps)[:-1]])
+    dst_offs = np.ascontiguousarray(
+        np.concatenate([[0], np.cumsum(caps)[:-1]]), np.int64
+    )
     dst = np.empty(int(caps.sum()), np.uint8)
     rc = lib.tiff_decode_strips(
         src,
-        np.ascontiguousarray(src_offs).ctypes.data,
+        src_offs.ctypes.data,
         src_lens.ctypes.data,
         len(strips),
         dst.ctypes.data,
-        np.ascontiguousarray(dst_offs).ctypes.data,
+        dst_offs.ctypes.data,
         caps.ctypes.data,
         int(kind),
         int(n_threads),

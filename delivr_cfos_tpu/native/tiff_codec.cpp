@@ -162,12 +162,14 @@ int64_t tiff_decode_strips(const uint8_t* src, const int64_t* src_offs,
       const int64_t n =
           kind == 5 ? tiff_lzw_decode(s, src_lens[i], d, dst_caps[i])
                     : tiff_packbits_decode(s, src_lens[i], d, dst_caps[i]);
-      if (n < 0) {
+      // dst_caps is the exact expected byte count (short last strips get a
+      // reduced cap upstream), so a short decode means a truncated/corrupt
+      // stream: fail the page so the caller falls back to the Python
+      // decoder, which raises loudly instead of yielding black rows.
+      if (n != dst_caps[i]) {
         failed.store(i);
         return;
       }
-      // short strips (legal): zero the tail so callers see stable bytes
-      if (n < dst_caps[i]) std::memset(d + n, 0, dst_caps[i] - n);
     }
   };
   int64_t nt = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);

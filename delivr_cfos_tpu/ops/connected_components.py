@@ -127,7 +127,6 @@ def _canonicalize_raw_labels(raw: np.ndarray) -> tuple:
     order = np.argsort(first_idx)
     remap = np.empty(uniq.shape[0], dtype=np.int32)
     remap[order] = np.arange(1, uniq.shape[0] + 1, dtype=np.int32)
-    lut = dict()  # root value → new label; roots can be large ints
     out = np.zeros(flat.shape[0], np.int32)
     idx = np.searchsorted(uniq, roots)
     out[fg] = remap[idx]

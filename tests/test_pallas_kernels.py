@@ -176,7 +176,7 @@ def test_conv3d_cs_multi_plane_bit_identical():
     assert _auto_planes(95, 32, 32, 6144, 6528) == 1  # D not divisible
 
 
-def test_conv3d_cs_cin_chunked_matches(monkeypatch):
+def test_conv3d_cs_cin_chunked_matches(monkeypatch, request):
     """Explicit wide-conv packings chunk the taps to 32 channels (so the
     rolled scratch fits VMEM); the chunked mp kernel matches the unchunked
     single-plane kernel (f32-accumulator order)."""
@@ -186,8 +186,14 @@ def test_conv3d_cs_cin_chunked_matches(monkeypatch):
 
     mod = importlib.import_module("delivr_cfos_tpu.ops.pallas.conv3d_cs")
 
-    # force chunking at this tiny probe shape
+    # force chunking at this tiny probe shape; the chunk decision is baked
+    # in at trace time, so drop any cached trace of this signature or the
+    # patch would be ignored after a prior same-shape compile
     monkeypatch.setattr(mod, "_CHUNK_ROLLED_LIMIT", 0)
+    mod.conv3d_cs.clear_cache()
+    # and drop the chunked traces once the limit is restored, so later
+    # same-shape calls retrace with the real limit
+    request.addfinalizer(mod.conv3d_cs.clear_cache)
     rng = np.random.default_rng(5)
     B, D, H, W, CIN, COUT = 1, 4, 8, 16, 64, 6
     x = jnp.asarray(
