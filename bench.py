@@ -115,13 +115,134 @@ print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt,
 """
 
 
+# fast-vs-parity at the ACCEPTANCE metric on the real chip (VERDICT r3
+# item 2): train the production-size UNet to decisive logits on a synthetic
+# brain, run the stage-2 binarization chain in parity and in fast/pallas_cs,
+# and compare cell counts + centroids (stage-3 semantics). Also reports the
+# principled flip bound: a voxel may flip only if its parity logit sits
+# within the measured fast-vs-parity logit deviation of the sigmoid cut
+# (reference chain: inference/inference.py:120, create_nifti_seg :60-95).
+_CELLS_CODE = r"""
+import json, sys, time
+import numpy as np
+
+platform = sys.argv[1]
+import os
+if platform != "default":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = platform
+import jax
+import jax.numpy as jnp
+
+from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_volume
+from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
+from delivr_cfos_tpu.ops.connected_components import (
+    component_statistics,
+    label_volume_host,
+)
+from delivr_cfos_tpu.training import TrainConfig, make_train_step
+
+backend = jax.default_backend()
+SHAPE = (96, 256, 256) if backend == "tpu" else (32, 96, 96)
+rng = np.random.default_rng(0)
+# strictly positive background: the 30-iter erosion re-mask is then a no-op
+# (border_value=1), as on a fully-imaged volume
+vol = (rng.random(SHAPE) * 300 + 10).astype(np.uint16)
+centers = []
+n_blobs = 60 if backend == "tpu" else 12
+for _ in range(n_blobs):
+    c = rng.integers((2, 5, 5), np.array(SHAPE) - (2, 5, 5))
+    centers.append(c)
+    vol[c[0]-1:c[0]+1, c[1]-3:c[1]+3, c[2]-3:c[2]+3] = 50000
+
+model = BasicUNetConfig() if backend == "tpu" else BasicUNetConfig(
+    features=(4, 4, 8, 16, 32, 4)
+)
+tc = TrainConfig(model=model, learning_rate=1e-2)
+init_state, step = make_train_step(tc)
+params, opt_state = init_state()
+win_rng = np.random.default_rng(11)
+for i in range(150):
+    xs, ys = [], []
+    for k in range(4):
+        if k % 2 == 0:
+            c = centers[win_rng.integers(len(centers))]
+            z0 = int(np.clip(c[0]-16, 0, SHAPE[0]-32))
+            y0 = int(np.clip(c[1]-16, 0, SHAPE[1]-32))
+            x0 = int(np.clip(c[2]-16, 0, SHAPE[2]-32))
+        else:
+            z0, y0, x0 = win_rng.integers((0,0,0), np.array(SHAPE)-32, endpoint=True)
+        patch = vol[z0:z0+32, y0:y0+32, x0:x0+32]
+        xs.append(patch.astype(np.float32))
+        ys.append((patch > 40000).astype(np.float32))
+    params, opt_state, _ = step(
+        params, opt_state,
+        jnp.asarray(np.stack(xs)[..., None]), jnp.asarray(np.stack(ys)[..., None]),
+    )
+
+roi = (96, 96, 64) if backend == "tpu" else (16, 16, 16)
+cfg = SlidingWindowConfig(roi=roi, overlap=0.5, tta=False,
+                          batch_size=0 if backend == "tpu" else 2)
+vol_dev = jnp.asarray(vol)
+_ = float(np.asarray(vol_dev[0, 0, 0]))
+
+def run_mode(model_cfg):
+    logits, binaries = infer_volume(params, vol_dev, cfg, model_cfg)
+    return np.asarray(logits), np.asarray(binaries)
+
+parity_cfg = BasicUNetConfig(
+    features=model.features, precision="highest", conv_impl="xla3d"
+)
+fast_cfg = (
+    BasicUNetConfig.fast(features=model.features)
+    if backend == "tpu"
+    else BasicUNetConfig.fast(features=model.features, conv_impl="xla3d")
+)
+log_p, bin_p = run_mode(parity_cfg)
+log_f, bin_f = run_mode(fast_cfg)
+
+lab_p, n_p = label_volume_host(bin_p)
+lab_f, n_f = label_volume_host(bin_f)
+stats_p = component_statistics(lab_p, n_p)
+stats_f = component_statistics(lab_f, n_f)
+cp = np.asarray(stats_p["centroids"]); cf = np.asarray(stats_f["centroids"])
+cent_ok = False
+if n_p == n_f and n_p > 0:
+    op = np.lexsort(cp.T); of = np.lexsort(cf.T)
+    cent_ok = bool(np.allclose(cp[op], cf[of], atol=1.0))
+flipped = bin_p != bin_f
+max_dev = float(np.abs(log_f - log_p).max())
+# principled bound: every flipped voxel's parity logit must be within the
+# measured deviation of the cut (sigmoid(x) >= 0.5 <=> x >= 0)
+within = bool((np.abs(log_p[flipped]) <= max_dev + 1e-6).all())
+print(json.dumps({
+    "backend": backend,
+    "n_parity": int(n_p), "n_fast": int(n_f),
+    "cells_equal": bool(n_p == n_f and n_p == n_blobs),
+    "centroids_agree": cent_ok,
+    "flipped_voxels": int(flipped.sum()),
+    "max_abs_logit_dev": max_dev,
+    "flips_within_logit_margin": within,
+}))
+"""
+
+
 def _run_child(platform: str, mode: str, timeout: int):
+    code = _CELLS_CODE if mode == "cells" else _CHILD_CODE
+    # force the platform from the PARENT env: this image's sitecustomize
+    # registers the TPU plugin at interpreter startup, i.e. before any
+    # env-var surgery inside the child script could run
+    env = dict(os.environ)
+    if platform != "default":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = platform
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD_CODE, platform, mode],
+            [sys.executable, "-c", code, platform, mode],
             capture_output=True,
             text=True,
             timeout=timeout,
+            env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -155,13 +276,15 @@ def main():
         )
         return
 
-    parity = tta = None
+    parity = tta = cells = None
     if fast["backend"] == "tpu":
         parity = _run_child("default", "parity", timeout=1500)
         # reference-default semantics: TTA on = 13 full-volume passes
         # (inference.py:269-279); tta_value is unique-output GVox/s for the
         # complete 13-pass run (VERDICT r2 item 4: measured, not projected)
         tta = _run_child("default", "tta", timeout=1500)
+        # fast-vs-parity cell-count equality ON THE CHIP (VERDICT r3 item 2)
+        cells = _run_child("default", "cells", timeout=1500)
 
     metric = "unet_sliding_window_throughput_per_chip"
     if fast["backend"] != "tpu":
@@ -176,6 +299,20 @@ def main():
         result["parity_mode_value"] = round(parity["gvox_per_s"], 4)
     if tta is not None:
         result["tta_value"] = round(tta["gvox_per_s"], 4)
+    if cells is not None:
+        result["fast_parity_cells_equal"] = bool(
+            cells["cells_equal"] and cells["centroids_agree"]
+        )
+        result["fast_parity_cells"] = {
+            k: cells[k]
+            for k in (
+                "n_parity",
+                "n_fast",
+                "flipped_voxels",
+                "max_abs_logit_dev",
+                "flips_within_logit_margin",
+            )
+        }
     print(json.dumps(result))
 
 

@@ -101,6 +101,17 @@ class BlobDetectionConfig:
     #              counts agree with parity — tests/test_fast_parity.py);
     #   'auto'   — 'fast' on TPU, 'parity' elsewhere (default).
     precision: str = "auto"
+    # framework extension — window blending. 'constant' reproduces the
+    # reference quirk (its fork hardcodes a uniform importance map,
+    # sliding_window_inferer.py:148); 'gaussian' enables the
+    # Gaussian-weighted blending its call site requested (inference.py:212,
+    # MONAI compute_importance_map semantics).
+    importance: str = "constant"
+    # framework extension — binarization re-mask erosion depth. The
+    # reference hardcodes 30 iterations (inference/inference.py:84), sized
+    # for hemisphere-scale volumes; small test volumes need less or the
+    # eroded mask vanishes.
+    erosion_iters: int = 30
 
 
 @dataclass(frozen=True)

@@ -22,9 +22,15 @@ Rebuilds the reference's forked MONAI inferer
   window batch after float cast; flips are applied per-window and inverted
   before accumulation (reference: inference.py:269-279,
   sliding_window_inferer.py:211-226).
-- The importance map is uniform — the reference's fork hardcodes
+- The importance map defaults to uniform — the reference's fork hardcodes
   ``mode='constant'`` despite requesting gaussian at the call site
   (sliding_window_inferer.py:148) — so blending is pure count-map averaging.
+  ``SlidingWindowConfig.importance = "gaussian"`` enables the Gaussian
+  blending the call site *asked* for (MONAI ``compute_importance_map``
+  semantics: separable Gaussian of σ = 0.125·roi per dim centered at
+  roi//2, truncated at radius int(4σ+0.5), peak-normalized, floor-clamped
+  to the smallest positive value): ``acc += imp·logits``, ``cnt += imp``.
+  The default stays bit-compatible with the reference.
 """
 
 from __future__ import annotations
@@ -61,6 +67,16 @@ class SlidingWindowConfig:
     # uniform window counts, so exact lengths compile once and waste nothing
     # (bucketing measured 12.5% padded work on the bench volume).
     bucket_scan_lengths: bool = False
+    # "constant" (reference quirk, sliding_window_inferer.py:148) or
+    # "gaussian" (the blending BASELINE config 2 names; MONAI formula)
+    importance: str = "constant"
+    importance_sigma_scale: float = 0.125  # MONAI compute_importance_map
+    # vectorized overlap-add: accumulate the stride-regular windows as p³
+    # dense phase tilings (gather+reshape+slice-add) instead of the serial
+    # per-window update chain; clamped tails stay on the loop path. Same
+    # math — f32 sums differ only in addend order. Auto-falls back when the
+    # stride does not divide the roi.
+    dense_overlap_add: bool = True
 
 
 def auto_batch_size(
@@ -109,6 +125,45 @@ def auto_batch_size(
     return p
 
 
+def gaussian_importance_map(
+    roi, sigma_scale: float = 0.125, dtype=np.float32
+) -> np.ndarray:
+    """MONAI ``compute_importance_map(mode='gaussian')`` formula (the map the
+    reference's call site requested but its fork never built,
+    sliding_window_inferer.py:148): a unit impulse at ``roi//2`` blurred by a
+    separable Gaussian with σ = ``sigma_scale``·roi per dim truncated at
+    radius int(4σ+0.5), peak-normalized to 1, then floor-clamped to
+    ``max(min positive value, 1e-3)`` so the count map can never be zero.
+    The 1e-3 floor is MONAI's (compute_importance_map) — and load-bearing
+    here: the corner weights of the raw separable product underflow to
+    float32 denormals (≈1e-42 at 8σ per axis), which XLA flushes to zero,
+    so without the floor acc/cnt at single-coverage corners would be 0/0."""
+    axes = []
+    for n in roi:
+        sigma = sigma_scale * n
+        center = n // 2
+        radius = int(4.0 * sigma + 0.5)
+        x = np.arange(n, dtype=np.float64) - center
+        g = np.exp(-0.5 * (x / sigma) ** 2)
+        g[np.abs(x) > radius] = 0.0
+        axes.append(g)
+    m = np.einsum("i,j,k->ijk", *axes)
+    m /= m.max()
+    m = np.clip(m, max(float(m[m > 0].min()), 1e-3), None)
+    return m.astype(dtype)
+
+
+def _importance_for(cfg: "SlidingWindowConfig"):
+    """Device importance map for cfg, or None in constant mode."""
+    if cfg.importance == "constant":
+        return None
+    if cfg.importance != "gaussian":
+        raise ValueError(f"unknown importance mode {cfg.importance!r}")
+    return jnp.asarray(
+        gaussian_importance_map(tuple(cfg.roi), cfg.importance_sigma_scale)
+    )
+
+
 # --------------------------------------------------------------------------
 # window grid (exact reference semantics)
 # --------------------------------------------------------------------------
@@ -149,6 +204,162 @@ def dense_patch_starts(image_size, roi_size, overlap: float) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# dense phase-sum overlap-add (VERDICT r3 item 3)
+#
+# At overlap 0.5 every unclamped window start is i·stride with
+# roi = 2·stride, so the stride-regular windows split into p³ phase groups
+# (p = roi/stride per dim) where each group tiles its z-y-x range WITHOUT
+# overlap. Accumulating a group is then pure vector work — gather the
+# group's windows, reshape (Mz, My, Mx, rz, ry, rx) → (Mz·rz, My·ry, Mx·rx),
+# one slice-add — instead of the serial per-window dynamic_update_slice
+# chain (latency-bound at ~8% of engine wall; scatter measured no better,
+# PERF.md). Clamped-tail windows (the irregular last starts) stay on the
+# loop path; the count map for regular windows is a closed-form constant.
+# --------------------------------------------------------------------------
+
+
+class _DensePlan:
+    """Host-side phase decomposition of the reference window grid.
+
+    Attributes:
+      phases: list of (origin_zyx, grid_dims_MzMyMx, w_ids) — w_ids are the
+        global window ids (z-major raster, as dense_patch_starts orders
+        them) of the phase's slots in (mz, my, mx) raster order;
+      regular_mask: (N,) bool — window is stride-regular in all dims;
+      static: hashable ((origin, dims), ...) for jit keys.
+    """
+
+    def __init__(self, dims, roi, interval):
+        """``dims``: the per-dim start lists of the grid being accumulated
+        (z-major window ordering assumed, as dense_patch_starts emits)."""
+        p = [roi[d] // interval[d] for d in range(3)]
+        # per-dim regular index count (the clamped last start is irregular)
+        n_reg = []
+        for d in range(3):
+            n = len(dims[d])
+            if dims[d][-1] != (n - 1) * interval[d]:
+                n -= 1
+            n_reg.append(n)
+        self.p = tuple(p)
+        n_all = tuple(len(d) for d in dims)
+        N = n_all[0] * n_all[1] * n_all[2]
+        reg = np.zeros(n_all, bool)
+        reg[: n_reg[0], : n_reg[1], : n_reg[2]] = True
+        self.regular_mask = reg.ravel()
+        self.phases = []
+        for gz in range(p[0]):
+            for gy in range(p[1]):
+                for gx in range(p[2]):
+                    g = (gz, gy, gx)
+                    M = tuple(
+                        -(-(n_reg[d] - g[d]) // p[d]) if n_reg[d] > g[d] else 0
+                        for d in range(3)
+                    )
+                    if 0 in M:
+                        continue
+                    iz = g[0] + np.arange(M[0]) * p[0]
+                    iy = g[1] + np.arange(M[1]) * p[1]
+                    ix = g[2] + np.arange(M[2]) * p[2]
+                    w_ids = (
+                        (iz[:, None, None] * n_all[1] + iy[None, :, None])
+                        * n_all[2]
+                        + ix[None, None, :]
+                    ).ravel().astype(np.int64)
+                    origin = tuple(int(g[d] * interval[d]) for d in range(3))
+                    self.phases.append((origin, M, w_ids))
+        self.static = tuple((ph[0], ph[1]) for ph in self.phases)
+        self.n_windows = N
+
+
+def _dense_plan_for(image_size, roi, interval):
+    """A _DensePlan when the decomposition applies (stride divides roi in
+    every dim — true for the reference's 0.5 overlap), else None."""
+    if any(interval[d] <= 0 or roi[d] % interval[d] for d in range(3)):
+        return None
+    dims = [
+        _dim_starts(image_size[d], roi[d], interval[d]) for d in range(3)
+    ]
+    return _DensePlan(dims, roi, interval)
+
+
+def _gather_1based(src_flat, idx):
+    """src_flat[(idx−1)] with idx==0 meaning the zero window — gathered via
+    clamp+mask so no concatenated copy of the (large) staged logits is ever
+    materialized."""
+    g = src_flat[jnp.maximum(idx - 1, 0)]
+    m = (idx > 0).astype(src_flat.dtype)
+    return g * m[:, None, None, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan_static", "roi"),
+    donate_argnames=("acc",),
+)
+def _dense_phase_add_all(acc, src_flat, idx_list, *, plan_static, roi, imp=None):
+    """Add every phase's gathered windows into ``acc`` in one dispatch.
+    ``src_flat``: (K, *roi) window contributions; ``idx_list[i]``: (S_i,)
+    1-based indices into src_flat (0 = the implicit zero window, used for
+    slots whose contribution is not in this chunk)."""
+    rz, ry, rx = roi
+    for (origin, (Mz, My, Mx)), idx in zip(plan_static, idx_list):
+        g = _gather_1based(src_flat, idx)
+        if imp is not None:
+            g = g * imp
+        block = (
+            g.reshape(Mz, My, Mx, rz, ry, rx)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(Mz * rz, My * ry, Mx * rx)
+        )
+        oz, oy, ox = origin
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (oz, oy, ox), block.shape) + block,
+            (oz, oy, ox),
+        )
+    return acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan_static", "roi", "n_passes"),
+    donate_argnames=("cnt",),
+)
+def _dense_count_add(cnt, *, plan_static, roi, n_passes, imp=None):
+    """Closed-form count-map contribution of ALL regular windows (each adds
+    1 — or its importance weight — per pass, over its phase's tiling)."""
+    rz, ry, rx = roi
+    for origin, (Mz, My, Mx) in plan_static:
+        oz, oy, ox = origin
+        shape = (Mz * rz, My * ry, Mx * rx)
+        if imp is None:
+            block = jnp.full(shape, n_passes, cnt.dtype)
+        else:
+            block = jnp.tile(imp * n_passes, (Mz, My, Mx)).astype(cnt.dtype)
+        cnt = jax.lax.dynamic_update_slice(
+            cnt,
+            jax.lax.dynamic_slice(cnt, (oz, oy, ox), shape) + block,
+            (oz, oy, ox),
+        )
+    return cnt
+
+
+@partial(
+    jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt")
+)
+def _tail_accumulate(
+    acc, cnt, src_flat, tail_idx, tail_starts, tail_valid, *, roi, imp=None
+):
+    """Loop-accumulate the clamped-tail windows of one chunk: gather their
+    contributions from the staged logits (1-based; 0 = zero window for
+    valid=0 lanes) and run the standard per-window overlap-add."""
+    contrib = _gather_1based(src_flat, tail_idx)
+    return _accumulate_windows(
+        acc, cnt, tail_starts, contrib, tail_valid, roi, imp
+    )
+
+
+# --------------------------------------------------------------------------
 # jitted device steps
 # --------------------------------------------------------------------------
 
@@ -161,8 +372,12 @@ def _gather_windows(volume, starts, roi):
     return jax.vmap(one)(starts)
 
 
-def _accumulate_windows(acc, cnt, starts, contrib, valid, roi):
-    """Overlap-add one batch of window contributions into acc/cnt."""
+def _accumulate_windows(acc, cnt, starts, contrib, valid, roi, imp=None):
+    """Overlap-add one batch of window contributions into acc/cnt.
+
+    ``imp``: optional (roi,) importance map — weighted blending
+    ``acc += imp·contrib``, ``cnt += imp`` (cnt must then be float);
+    None keeps the reference's uniform accumulate (cnt int count map)."""
     w = valid.astype(jnp.float32)
 
     def body(i, carry):
@@ -170,12 +385,14 @@ def _accumulate_windows(acc, cnt, starts, contrib, valid, roi):
         s = starts[i]
         patch_a = jax.lax.dynamic_slice(a, (s[0], s[1], s[2]), roi)
         patch_c = jax.lax.dynamic_slice(c, (s[0], s[1], s[2]), roi)
-        a = jax.lax.dynamic_update_slice(
-            a, patch_a + contrib[i] * w[i], (s[0], s[1], s[2])
-        )
-        c = jax.lax.dynamic_update_slice(
-            c, patch_c + valid[i].astype(c.dtype), (s[0], s[1], s[2])
-        )
+        add_a = contrib[i] * w[i]
+        if imp is not None:
+            add_a = add_a * imp
+            add_c = imp * w[i]
+        else:
+            add_c = valid[i].astype(c.dtype)
+        a = jax.lax.dynamic_update_slice(a, patch_a + add_a, (s[0], s[1], s[2]))
+        c = jax.lax.dynamic_update_slice(c, patch_c + add_c, (s[0], s[1], s[2]))
         return a, c
 
     return jax.lax.fori_loop(0, starts.shape[0], body, (acc, cnt))
@@ -226,13 +443,17 @@ def _forward_windows_pass(
 
 
 @partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
-def _accumulate_logits_pass(acc, cnt, starts_nb, valid_nb, logits_nb, *, roi):
+def _accumulate_logits_pass(
+    acc, cnt, starts_nb, valid_nb, logits_nb, *, roi, imp=None
+):
     """Overlap-add precomputed window logits into acc/cnt (one dispatch)."""
 
     def scan_body(carry, inp):
         acc, cnt = carry
         starts, valid, contrib = inp
-        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
+        acc, cnt = _accumulate_windows(
+            acc, cnt, starts, contrib, valid, roi, imp
+        )
         return (acc, cnt), None
 
     (acc, cnt), _ = jax.lax.scan(
@@ -274,6 +495,7 @@ def _infer_accumulate_pass(
     flip_axis,
     use_noise,
     model_cfg,
+    imp=None,
 ):
     """One full pass over all active windows, chunked into pairs of device
     dispatches: a forward-only scan (full conv throughput) and an
@@ -300,13 +522,19 @@ def _infer_accumulate_pass(
             model_cfg=model_cfg,
         )
         acc, cnt = _accumulate_logits_pass(
-            acc, cnt, starts_nb[lo:hi], valid_nb[lo:hi], logits_nb, roi=roi
+            acc,
+            cnt,
+            starts_nb[lo:hi],
+            valid_nb[lo:hi],
+            logits_nb,
+            roi=roi,
+            imp=imp,
         )
     return acc, cnt
 
 
 @partial(jax.jit, static_argnames=("roi",), donate_argnames=("acc", "cnt"))
-def _skip_accumulate_pass(acc, cnt, starts_nb, valid_nb, *, roi):
+def _skip_accumulate_pass(acc, cnt, starts_nb, valid_nb, *, roi, imp=None):
     """Fold all background windows in (constant −1000 logits, count += 1,
     reference: sliding_window_inferer.py:197-202) — one device dispatch."""
 
@@ -314,7 +542,9 @@ def _skip_accumulate_pass(acc, cnt, starts_nb, valid_nb, *, roi):
         acc, cnt = carry
         starts, valid = inp
         contrib = jnp.full((starts.shape[0], *roi), SKIP_LOGIT, jnp.float32)
-        acc, cnt = _accumulate_windows(acc, cnt, starts, contrib, valid, roi)
+        acc, cnt = _accumulate_windows(
+            acc, cnt, starts, contrib, valid, roi, imp
+        )
         return (acc, cnt), None
 
     (acc, cnt), _ = jax.lax.scan(scan_body, (acc, cnt), (starts_nb, valid_nb))
@@ -339,6 +569,11 @@ def _window_maxes(volume, starts, *, roi, batch):
 
 @jax.jit
 def _divide(acc, cnt):
+    if jnp.issubdtype(cnt.dtype, jnp.floating):
+        # gaussian blending: cnt holds importance-weight sums (positive by
+        # the map's min-clamp wherever any window lands); do NOT clamp to 1
+        # or edge voxels with small weight sums would be mis-normalized
+        return acc / jnp.maximum(cnt, 1e-8)
     return acc / jnp.maximum(cnt, 1).astype(jnp.float32)
 
 
@@ -406,6 +641,129 @@ def _tta_passes(cfg: SlidingWindowConfig):
     return passes
 
 
+def _infer_dense(
+    params,
+    vol_dev,
+    acc,
+    cnt,
+    starts,
+    active_mask,
+    plan: _DensePlan,
+    key,
+    cfg,
+    passes,
+    batch,
+    roi,
+    model_cfg,
+    imp,
+):
+    """Accumulation with the dense phase-sum decomposition (see _DensePlan):
+    regular windows go through vectorized phase adds (background ones as one
+    constant add, the count map in closed form); clamped-tail windows ride
+    the per-window loop path. Forward passes are unchanged."""
+    n_passes = len(passes)
+    reg = plan.regular_mask
+    n_active = int(active_mask.sum())
+    rank = np.full(starts.shape[0], -1, np.int64)
+    rank[np.nonzero(active_mask)[0]] = np.arange(n_active)
+
+    # count map of every regular window: closed form
+    cnt = _dense_count_add(
+        cnt, plan_static=plan.static, roi=roi, n_passes=n_passes, imp=imp
+    )
+
+    # background regular windows: one dense add of the skip constant
+    is_bg_reg = (~active_mask) & reg
+    if is_bg_reg.any():
+        sel = [
+            jnp.asarray(is_bg_reg[w_ids].astype(np.int32))
+            for _, _, w_ids in plan.phases
+        ]
+        skip_src = jnp.full((1, *roi), SKIP_LOGIT * n_passes, jnp.float32)
+        acc = _dense_phase_add_all(
+            acc, skip_src, sel, plan_static=plan.static, roi=roi, imp=imp
+        )
+
+    # background tails: standard loop skip pass (acc + cnt)
+    bg_tail = starts[(~active_mask) & ~reg]
+    if bg_tail.shape[0]:
+        sk_nb, sk_valid_nb = _to_batched(
+            bg_tail, batch, n_passes, bucket=cfg.bucket_scan_lengths
+        )
+        acc, cnt = _skip_accumulate_pass(
+            acc, cnt, sk_nb, sk_valid_nb, roi=roi, imp=imp
+        )
+
+    if not n_active:
+        return acc, cnt
+
+    active = starts[active_mask]
+    act_nb, _ = _to_batched(active, batch, bucket=cfg.bucket_scan_lengths)
+    nb = act_nb.shape[0]
+    chunk = _forward_chunk_batches(roi, batch)
+    noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+
+    # per-chunk gather plans (chunk-dependent, pass-independent)
+    ranks_ph = [rank[w_ids] for _, _, w_ids in plan.phases]
+    tail_active = np.nonzero(active_mask & ~reg)[0]
+    tail_ranks = rank[tail_active]
+    tail_starts_dev = (
+        jnp.asarray(starts[tail_active]) if tail_active.size else None
+    )
+    chunk_plans = []
+    for lo in range(0, nb, chunk):
+        hi = min(lo + chunk, nb)
+        lo_w, hi_w = lo * batch, hi * batch
+        idx_list = [
+            jnp.asarray(
+                np.where((r >= lo_w) & (r < hi_w), r - lo_w + 1, 0).astype(
+                    np.int32
+                )
+            )
+            for r in ranks_ph
+        ]
+        if tail_active.size:
+            tsel = (tail_ranks >= lo_w) & (tail_ranks < hi_w)
+            t_idx = jnp.asarray(
+                np.where(tsel, tail_ranks - lo_w + 1, 0).astype(np.int32)
+            )
+            t_valid = jnp.asarray(tsel.astype(np.int32))
+        else:
+            t_idx = t_valid = None
+        chunk_plans.append((lo, hi, idx_list, t_idx, t_valid))
+
+    for use_noise, flip_axis in passes:
+        for lo, hi, idx_list, t_idx, t_valid in chunk_plans:
+            key, sub = jax.random.split(key)
+            logits_nb = _forward_windows_pass(
+                params,
+                vol_dev,
+                act_nb[lo:hi],
+                sub,
+                noise_std,
+                roi=roi,
+                flip_axis=flip_axis,
+                use_noise=use_noise,
+                model_cfg=model_cfg,
+            )
+            flat = logits_nb.reshape(-1, *roi)
+            acc = _dense_phase_add_all(
+                acc, flat, idx_list, plan_static=plan.static, roi=roi, imp=imp
+            )
+            if t_idx is not None:
+                acc, cnt = _tail_accumulate(
+                    acc,
+                    cnt,
+                    flat,
+                    t_idx,
+                    tail_starts_dev,
+                    t_valid,
+                    roi=roi,
+                    imp=imp,
+                )
+    return acc, cnt
+
+
 def infer_volume(
     params,
     volume: np.ndarray,
@@ -435,6 +793,7 @@ def infer_volume(
         volume = pad(volume, pads, mode="reflect")
 
     image_size = volume.shape
+    interval = scan_interval(image_size, roi, cfg.overlap)
     starts = dense_patch_starts(image_size, roi, cfg.overlap)
     batch = cfg.batch_size or auto_batch_size(roi, model_cfg, volume.nbytes)
 
@@ -442,8 +801,9 @@ def infer_volume(
     # host link may be slow; callers processing one volume repeatedly, like
     # TTA or the bench, upload once)
     vol_dev = volume if isinstance(volume, jax.Array) else jnp.asarray(volume)
+    imp = _importance_for(cfg)
     acc = jnp.zeros(image_size, jnp.float32)
-    cnt = jnp.zeros(image_size, jnp.int32)
+    cnt = jnp.zeros(image_size, jnp.float32 if imp is not None else jnp.int32)
 
     # --- host-side background scheduling ---------------------------------
     starts_padded, _ = _pad_to_batches(starts, batch)
@@ -457,33 +817,62 @@ def infer_volume(
     passes = _tta_passes(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
-    # --- background windows: constant accumulate, weighted by pass count ---
-    if skipped.shape[0]:
-        sk_nb, sk_valid_nb = _to_batched(
-            skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
-        )
-        acc, cnt = _skip_accumulate_pass(acc, cnt, sk_nb, sk_valid_nb, roi=roi)
+    plan = (
+        _dense_plan_for(image_size, roi, interval)
+        if cfg.dense_overlap_add
+        else None
+    )
 
-    # --- active windows: one device dispatch per TTA pass ------------------
-    if active.shape[0]:
-        act_nb, valid_nb = _to_batched(active, batch, bucket=cfg.bucket_scan_lengths)
-        noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
-        for use_noise, flip_axis in passes:
-            key, sub = jax.random.split(key)
-            acc, cnt = _infer_accumulate_pass(
-                params,
-                vol_dev,
-                acc,
-                cnt,
-                act_nb,
-                valid_nb,
-                sub,
-                noise_std,
-                roi=roi,
-                flip_axis=flip_axis,
-                use_noise=use_noise,
-                model_cfg=model_cfg,
+    if plan is not None:
+        acc, cnt = _infer_dense(
+            params,
+            vol_dev,
+            acc,
+            cnt,
+            starts,
+            active_mask,
+            plan,
+            key,
+            cfg,
+            passes,
+            batch,
+            roi,
+            model_cfg,
+            imp,
+        )
+    else:
+        # --- background windows: constant accumulate, pass-count weighted --
+        if skipped.shape[0]:
+            sk_nb, sk_valid_nb = _to_batched(
+                skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
             )
+            acc, cnt = _skip_accumulate_pass(
+                acc, cnt, sk_nb, sk_valid_nb, roi=roi, imp=imp
+            )
+
+        # --- active windows: one device dispatch per TTA pass --------------
+        if active.shape[0]:
+            act_nb, valid_nb = _to_batched(
+                active, batch, bucket=cfg.bucket_scan_lengths
+            )
+            noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+            for use_noise, flip_axis in passes:
+                key, sub = jax.random.split(key)
+                acc, cnt = _infer_accumulate_pass(
+                    params,
+                    vol_dev,
+                    acc,
+                    cnt,
+                    act_nb,
+                    valid_nb,
+                    sub,
+                    noise_std,
+                    roi=roi,
+                    flip_axis=flip_axis,
+                    use_noise=use_noise,
+                    model_cfg=model_cfg,
+                    imp=imp,
+                )
 
     mean_logits = _divide(acc, cnt)
     # crop back the reflect padding

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from delivr_cfos_tpu.engine.sliding_window import (
     SlidingWindowConfig,
+    _divide,
+    _importance_for,
     _infer_accumulate_pass,
     _pad_to_batches,
     _skip_accumulate_pass,
@@ -99,8 +101,14 @@ def infer_volume_streaming(
         binary_out = np.empty(out_shape, np.uint8)
 
     passes = _tta_passes(cfg)
-    key = jax.random.PRNGKey(cfg.seed)
+    # TTA noise keys are derived per (slab, pass) by fold_in — NOT by
+    # sequential splitting — so a resumed run draws exactly the noise an
+    # uninterrupted run would have drawn for the remaining slabs (the resume
+    # bit-identity test covers tta=True because of this)
+    base_key = jax.random.PRNGKey(cfg.seed)
     noise_std = jnp.asarray(cfg.tta_noise_std, jnp.float32)
+    imp = _importance_for(cfg)
+    cnt_dtype = jnp.float32 if imp is not None else jnp.int32
     from delivr_cfos_tpu.engine.sliding_window import auto_batch_size
 
     batch = cfg.batch_size or auto_batch_size(roi, model_cfg)
@@ -160,7 +168,7 @@ def infer_volume_streaming(
         )
 
         acc = jnp.zeros(slab.shape, jnp.float32)
-        cnt = jnp.zeros(slab.shape, jnp.int32)
+        cnt = jnp.zeros(slab.shape, cnt_dtype)
         if carry_acc is not None:
             # carry covers [carry_z0, slab_z1_prev); add into this slab's head
             off = carry_z0 - slab_z0
@@ -177,9 +185,14 @@ def infer_volume_streaming(
                 sharded_accumulate,
             )
 
-            key, sub = jax.random.split(key)
             acc_s, cnt_s = sharded_accumulate(
-                mesh, params, slab, cfg, model_cfg, mesh_axis, key=sub
+                mesh,
+                params,
+                slab,
+                cfg,
+                model_cfg,
+                mesh_axis,
+                key=jax.random.fold_in(base_key, slab_i),
             )
             acc = acc + acc_s
             cnt = cnt + cnt_s
@@ -200,14 +213,15 @@ def infer_volume_streaming(
                     skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
                 )
                 acc, cnt = _skip_accumulate_pass(
-                    acc, cnt, sk_nb, sk_valid_nb, roi=roi
+                    acc, cnt, sk_nb, sk_valid_nb, roi=roi, imp=imp
                 )
             if active.shape[0]:
                 act_nb, valid_nb = _to_batched(
                     active, batch, bucket=cfg.bucket_scan_lengths
                 )
-                for use_noise, flip_axis in passes:
-                    key, sub = jax.random.split(key)
+                slab_key = jax.random.fold_in(base_key, slab_i)
+                for pass_i, (use_noise, flip_axis) in enumerate(passes):
+                    sub = jax.random.fold_in(slab_key, pass_i)
                     acc, cnt = _infer_accumulate_pass(
                         params,
                         slab_dev,
@@ -221,6 +235,7 @@ def infer_volume_streaming(
                         flip_axis=flip_axis,
                         use_noise=use_noise,
                         model_cfg=model_cfg,
+                        imp=imp,
                     )
 
         # finalized region: [finalized, next_slab_first_start) — voxels below
@@ -236,9 +251,7 @@ def infer_volume_streaming(
             finalized = next_z0
         else:
             fin_lo = finalized - slab_z0
-            mean = acc[fin_lo:fin_hi] / jnp.maximum(cnt[fin_lo:fin_hi], 1).astype(
-                jnp.float32
-            )
+            mean = _divide(acc[fin_lo:fin_hi], cnt[fin_lo:fin_hi])
             # crop the write to the real (unpadded) extent
             write_lo, write_hi = finalized, min(next_z0, real_z)
             if write_hi > write_lo:

@@ -9,10 +9,59 @@ spatial ('sp') sharding with halo exchange over ICI for one volume, data
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+
+def maybe_initialize_distributed(env: dict | None = None) -> bool:
+    """Call ``jax.distributed.initialize()`` when a multi-host TPU pod
+    launch is detected — the runtime hook behind ``deploy/launch_pod.sh``
+    (SURVEY.md §5.8; the reference has no multi-node path at all).
+
+    Detection, in order:
+    - ``DELIVR_DISTRIBUTED=0`` disables unconditionally;
+    - ``DELIVR_DISTRIBUTED=1`` forces initialize() with JAX's automatic
+      TPU-environment discovery;
+    - ``DELIVR_COORDINATOR`` (+ ``DELIVR_NUM_PROCESSES``/
+      ``DELIVR_PROCESS_ID``) configures an explicit coordinator, for
+      clusters without TPU metadata discovery;
+    - TPU pod env vars (``TPU_WORKER_HOSTNAMES``/``MEGASCALE_COORDINATOR_ADDRESS``
+      with more than one worker) trigger automatic initialization.
+
+    Returns True when initialize() was called. Idempotent: a second call
+    (or an already-initialized backend) is a no-op returning False.
+    """
+    e = os.environ if env is None else env
+    flag = e.get("DELIVR_DISTRIBUTED", "").strip()
+    if flag == "0":
+        return False
+    already = getattr(
+        getattr(jax.distributed, "global_state", None), "client", None
+    )
+    if already is not None:
+        return False
+
+    kwargs = {}
+    coord = e.get("DELIVR_COORDINATOR", "").strip()
+    if coord:
+        kwargs = {
+            "coordinator_address": coord,
+            "num_processes": int(e.get("DELIVR_NUM_PROCESSES", "1")),
+            "process_id": int(e.get("DELIVR_PROCESS_ID", "0")),
+        }
+    elif flag != "1":
+        # automatic detection: only initialize when the TPU runtime
+        # advertises a multi-worker pod slice
+        hostnames = e.get("TPU_WORKER_HOSTNAMES", "")
+        mega = e.get("MEGASCALE_COORDINATOR_ADDRESS", "")
+        if not mega and len([h for h in hostnames.split(",") if h]) <= 1:
+            return False
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:

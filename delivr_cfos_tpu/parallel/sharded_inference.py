@@ -45,6 +45,14 @@ from delivr_cfos_tpu.engine.sliding_window import (
 from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, basic_unet_apply
 
 
+def _divide_mean(acc, cnt):
+    """acc/cnt with the mode-appropriate floor (int count map vs gaussian
+    importance-weight sums — see engine.sliding_window._divide)."""
+    if jnp.issubdtype(cnt.dtype, jnp.floating):
+        return acc / jnp.maximum(cnt, 1e-8)
+    return acc / jnp.maximum(cnt, 1).astype(jnp.float32)
+
+
 def _pvary(x, axis_name):
     """Invariant→varying cast for shard_map's vma type system (pvary is
     deprecated in favor of pcast)."""
@@ -115,6 +123,7 @@ def _pass_body(
     background_threshold,
     model_cfg,
     win_perm=None,
+    imp=None,
 ):
     """Per-device body (runs under shard_map): one full sliding-window pass
     over the local slab. Returns local (acc, cnt) of slab extent.
@@ -126,6 +135,11 @@ def _pass_body(
     zloc = vol_local.shape[0]
     starts_dev = starts_local[0]  # (n_win, 3)
     valid_dev = valid_local[0]  # (n_win,)
+
+    # the key arrives replicated (in_specs P()); fold the shard index in so
+    # every shard draws an independent TTA noise stream — without this all
+    # shards would apply the identical noise sequence to their local batches
+    key = jax.random.fold_in(key, jax.lax.axis_index(mesh_axis))
 
     # input halo: the first halo_in z-planes to the right of this slab.
     # When the halo is wider than one slab (shallow volume on a wide mesh),
@@ -145,7 +159,12 @@ def _pass_body(
     ext_z = vol_ext.shape[0]
     # mark the carries as device-varying for shard_map's vma type system
     acc = _pvary(jnp.zeros(vol_ext.shape, jnp.float32), mesh_axis)
-    cnt = _pvary(jnp.zeros(vol_ext.shape, jnp.int32), mesh_axis)
+    cnt = _pvary(
+        jnp.zeros(
+            vol_ext.shape, jnp.float32 if imp is not None else jnp.int32
+        ),
+        mesh_axis,
+    )
 
     n_windows = starts_dev.shape[0]
     n_batches = -(-n_windows // batch)
@@ -196,11 +215,17 @@ def _pass_body(
             si = s[i]
             pa = jax.lax.dynamic_slice(a, (si[0], si[1], si[2]), roi)
             pc = jax.lax.dynamic_slice(c, (si[0], si[1], si[2]), roi)
+            add_a = contrib[i] * w[i]
+            if imp is not None:
+                add_a = add_a * imp
+                add_c = imp * w[i]
+            else:
+                add_c = valid[i].astype(jnp.int32)
             a = jax.lax.dynamic_update_slice(
-                a, pa + contrib[i] * w[i], (si[0], si[1], si[2])
+                a, pa + add_a, (si[0], si[1], si[2])
             )
             c = jax.lax.dynamic_update_slice(
-                c, pc + valid[i].astype(jnp.int32), (si[0], si[1], si[2])
+                c, pc + add_c, (si[0], si[1], si[2])
             )
             return a, c
 
@@ -250,6 +275,7 @@ def _sharded_pass(
     mesh_axis,
     win_perm=None,
     batch=8,
+    imp=None,
 ):
     body = partial(
         _pass_body,
@@ -264,6 +290,7 @@ def _sharded_pass(
         background_threshold=cfg.background_threshold,
         model_cfg=model_cfg,
         win_perm=win_perm,
+        imp=imp,
     )
     spec_v = P(mesh_axis, None, None)
     spec_s = P(mesh_axis, None, None)
@@ -315,6 +342,9 @@ def sharded_accumulate(
     valid = jax.device_put(jnp.asarray(valid_np), shard_mask)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    from delivr_cfos_tpu.engine.sliding_window import _importance_for
+
+    imp = _importance_for(cfg)
 
     # per-shard HBM-aware batch sizing (one policy with the single-chip
     # engine, VERDICT r2 item 5): resident per chip = its slab + halo
@@ -348,6 +378,7 @@ def sharded_accumulate(
             mesh_axis,
             win_perm,
             batch=batch,
+            imp=imp,
         )
         acc_total = acc if acc_total is None else acc_total + acc
         cnt_total = cnt if cnt_total is None else cnt_total + cnt
@@ -387,9 +418,9 @@ def sharded_infer_volume(
         acc, cnt = sharded_accumulate(
             mesh, params, vol_t, cfg_t, model_cfg, mesh_axis, win_perm=perm
         )
-        mean_t = acc / jnp.maximum(cnt, 1).astype(jnp.float32)
+        mean_t = _divide_mean(acc, cnt)
         return jnp.transpose(mean_t, inv)
     acc, cnt = sharded_accumulate(
         mesh, params, volume, cfg, model_cfg, mesh_axis
     )
-    return acc / jnp.maximum(cnt, 1).astype(jnp.float32)
+    return _divide_mean(acc, cnt)

@@ -35,6 +35,19 @@ def run_pipeline(cfg: PipelineConfig) -> StageTimer:
 
 
 def _run_pipeline(cfg: PipelineConfig) -> StageTimer:
+    # multi-host pod launch (deploy/launch_pod.sh): join the JAX
+    # distributed runtime before any device query so jax.devices() spans
+    # the pod and jax.process_index() drives the per-slice brain filter
+    from delivr_cfos_tpu.parallel.mesh import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax
+
+        log(
+            f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.devices())} global devices"
+        )
     cfg.setup_folders()
     flags = cfg.FLAGS
     n_stages = sum(

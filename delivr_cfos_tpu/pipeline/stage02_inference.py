@@ -98,6 +98,8 @@ def run_inference(
         roi=bd.window_dimensions.zyx,
         overlap=0.5,  # reference: inference.py:125
         tta=cfg.FLAGS.TEST_TIME_AUGMENTATION,
+        importance=getattr(bd, "importance", "constant") or "constant",
+        erosion_iters=getattr(bd, "erosion_iters", 30),
     )
     # whole-volume-in-HBM vs z-slab streaming, following the reference's
     # LOAD_ALL_RAM semantics (inference.py:240-247) plus a hard size guard:

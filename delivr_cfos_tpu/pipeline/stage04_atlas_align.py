@@ -203,6 +203,18 @@ def run_registration_and_point_warp(cfg: PipelineConfig, entry_csv: str) -> str:
     os.makedirs(aa.collection_folder, exist_ok=True)
 
     fixed = read_v3draw(v3draw_path).astype(np.float32)
+    # the v3draw carries the TeraConverter-era ≥250 px zero padding
+    # (reference: downsample_and_mask.py:227-240, reproduced by stage 1's
+    # _pad_under_250). It is trailing-only, so cropping to the nonzero
+    # extent leaves every coordinate unchanged while shrinking the
+    # registration grid ~20× for small brains.
+    nz = np.nonzero(fixed)
+    if nz[0].size:
+        fixed = fixed[
+            : int(nz[0].max()) + 1,
+            : int(nz[1].max()) + 1,
+            : int(nz[2].max()) + 1,
+        ]
 
     # ---- registration -----------------------------------------------------
     log("Registering", brain)

@@ -139,3 +139,56 @@ def test_sharded_along_y_and_x(params, shard_axis):
     single, _ = infer_volume(params, vol, cfg, MODEL_CFG, return_binary=False)
     assert sharded.shape == vol.shape
     np.testing.assert_allclose(sharded, np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_tta_noise_shards_draw_independent_streams(params):
+    """The replicated TTA key is folded with ``axis_index`` per shard, so
+    shards draw INDEPENDENT noise. Probe: a z-periodic volume where each of
+    two shards owns one identical window (overlap 0 → no halos, no spill);
+    with a replicated stream both halves would come out bit-identical, with
+    per-shard fold_in they must differ — while the noise-free run stays
+    exactly symmetric."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(7)
+    half = (rng.random((16, 16, 16)) * 900).astype(np.uint16)
+    vol = np.concatenate([half, half], axis=0)  # (32, 16, 16), periodic in z
+    mesh = make_mesh({"sp": 2})
+
+    cfg0 = SlidingWindowConfig(
+        roi=ROI, overlap=0.0, batch_size=2, tta=True, tta_noise_std=0.0
+    )
+    clean = np.asarray(sharded_infer_volume(mesh, params, vol, cfg0, MODEL_CFG))
+    np.testing.assert_array_equal(clean[:16], clean[16:])
+
+    cfg1 = SlidingWindowConfig(
+        roi=ROI, overlap=0.0, batch_size=2, tta=True, tta_noise_std=0.5
+    )
+    noisy = np.asarray(sharded_infer_volume(mesh, params, vol, cfg1, MODEL_CFG))
+    assert np.abs(noisy[:16] - noisy[16:]).max() > 0
+
+
+def test_sharded_tta_noise_statistical_bound(params):
+    """With noise on, the sharded engine draws a DIFFERENT stream than the
+    single-chip engine (documented: per-shard fold_in). The results must
+    still agree to a noise-scale statistical bound, and the sharded run must
+    be deterministic for a fixed seed."""
+    vol = _volume(shape=(32, 32, 32), seed=4)
+    mesh = make_mesh({"sp": 4})
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, tta=True, tta_noise_std=1e-3
+    )
+    noisy = np.asarray(sharded_infer_volume(mesh, params, vol, cfg, MODEL_CFG))
+    noisy2 = np.asarray(sharded_infer_volume(mesh, params, vol, cfg, MODEL_CFG))
+    np.testing.assert_array_equal(noisy, noisy2)  # fixed seed → reproducible
+    import dataclasses
+
+    clean = np.asarray(
+        sharded_infer_volume(
+            mesh, params, vol, dataclasses.replace(cfg, tta_noise_std=0.0),
+            MODEL_CFG,
+        )
+    )
+    # 1e-3 input noise through the (Lipschitz-bounded) tiny UNet: allow a
+    # generous 50× amplification on mean logits
+    assert np.abs(noisy - clean).max() < 0.05

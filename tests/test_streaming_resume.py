@@ -100,3 +100,54 @@ def test_resume_with_mismatched_config_restarts(params, tmp_path):
         logits_out=np.empty(vol.shape, np.float32),
     )
     np.testing.assert_allclose(log_a, log_b, rtol=1e-5)
+
+
+def test_resume_bit_identical_with_tta_noise(params, tmp_path):
+    """TTA noise keys derive from fold_in(slab, pass) — not sequential
+    splits — so a resumed run draws exactly the noise an uninterrupted run
+    would have: resume is BIT-identical even with tta noise on (VERDICT r3
+    weak 2b; the older test needed tta=False)."""
+    rng = np.random.default_rng(3)
+    vol = np.zeros((72, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((72, 16, 32)) * 800).astype(np.uint16)
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, tta=True, tta_noise_std=0.3
+    )
+
+    log_full = np.empty(vol.shape, np.float32)
+    bin_full, _ = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2, logits_out=log_full
+    )
+
+    # simulate an interruption after slab 1 (finalized through z=32)
+    state = str(tmp_path / "resume_tta.json")
+    st = {
+        "sig": {
+            "roi": list(ROI),
+            "overlap": cfg.overlap,
+            "tta": cfg.tta,
+            "slab_z_starts": 2,
+            "shape": list(vol.shape),
+            "out_shape": list(vol.shape),
+        },
+        "next_slab": 2,
+        "finalized": 32,
+    }
+    with open(state, "w") as f:
+        json.dump(st, f)
+    log_res = log_full.copy()
+    bin_res = bin_full.copy()
+    log_res[32:] = -1
+    bin_res[32:] = 255
+    infer_volume_streaming(
+        params,
+        vol,
+        cfg,
+        MODEL_CFG,
+        slab_z_starts=2,
+        binary_out=bin_res,
+        logits_out=log_res,
+        resume_state_path=state,
+    )
+    np.testing.assert_array_equal(log_res, log_full)
+    np.testing.assert_array_equal(bin_res, bin_full)
