@@ -24,9 +24,11 @@ import jax.numpy as jnp
 
 from delivr_cfos_tpu.engine.sliding_window import (
     SlidingWindowConfig,
+    _DensePlan,
     _divide,
     _importance_for,
     _infer_accumulate_pass,
+    _infer_dense,
     _pad_to_batches,
     _skip_accumulate_pass,
     _to_batched,
@@ -205,38 +207,72 @@ def infer_volume_streaming(
                 )
             )[: starts.shape[0]]
             active_mask = maxes > cfg.background_threshold
-            active = starts[active_mask]
-            skipped = starts[~active_mask]
+            slab_key = jax.random.fold_in(base_key, slab_i)
 
-            if skipped.shape[0]:
-                sk_nb, sk_valid_nb = _to_batched(
-                    skipped, batch, len(passes), bucket=cfg.bucket_scan_lengths
+            # dense phase-sum accumulate for the slab's grid when the
+            # stride decomposition applies (the slab's local z starts are
+            # stride-regular rows of the global grid, so _DensePlan applies
+            # per slab exactly as it does per volume)
+            plan = None
+            if cfg.dense_overlap_add and not any(
+                interval[d] <= 0 or roi[d] % interval[d] for d in range(3)
+            ):
+                plan = _DensePlan(
+                    [[z - slab_z0 for z in starts_z], list(ys), list(xs)],
+                    roi,
+                    interval,
                 )
-                acc, cnt = _skip_accumulate_pass(
-                    acc, cnt, sk_nb, sk_valid_nb, roi=roi, imp=imp
+            if plan is not None:
+                acc, cnt = _infer_dense(
+                    params,
+                    slab_dev,
+                    acc,
+                    cnt,
+                    starts,
+                    active_mask,
+                    plan,
+                    slab_key,
+                    cfg,
+                    passes,
+                    batch,
+                    roi,
+                    model_cfg,
+                    imp,
                 )
-            if active.shape[0]:
-                act_nb, valid_nb = _to_batched(
-                    active, batch, bucket=cfg.bucket_scan_lengths
-                )
-                slab_key = jax.random.fold_in(base_key, slab_i)
-                for pass_i, (use_noise, flip_axis) in enumerate(passes):
-                    sub = jax.random.fold_in(slab_key, pass_i)
-                    acc, cnt = _infer_accumulate_pass(
-                        params,
-                        slab_dev,
-                        acc,
-                        cnt,
-                        act_nb,
-                        valid_nb,
-                        sub,
-                        noise_std,
-                        roi=roi,
-                        flip_axis=flip_axis,
-                        use_noise=use_noise,
-                        model_cfg=model_cfg,
-                        imp=imp,
+            else:
+                active = starts[active_mask]
+                skipped = starts[~active_mask]
+                if skipped.shape[0]:
+                    sk_nb, sk_valid_nb = _to_batched(
+                        skipped,
+                        batch,
+                        len(passes),
+                        bucket=cfg.bucket_scan_lengths,
                     )
+                    acc, cnt = _skip_accumulate_pass(
+                        acc, cnt, sk_nb, sk_valid_nb, roi=roi, imp=imp
+                    )
+                if active.shape[0]:
+                    act_nb, valid_nb = _to_batched(
+                        active, batch, bucket=cfg.bucket_scan_lengths
+                    )
+                    for pass_i, (use_noise, flip_axis) in enumerate(passes):
+                        sub = jax.random.fold_in(slab_key, pass_i)
+                        acc, cnt = _infer_accumulate_pass(
+                            params,
+                            slab_dev,
+                            acc,
+                            cnt,
+                            act_nb,
+                            valid_nb,
+                            sub,
+                            noise_std,
+                            roi=roi,
+                            flip_axis=flip_axis,
+                            use_noise=use_noise,
+                            model_cfg=model_cfg,
+                            imp=imp,
+                        )
 
         # finalized region: [finalized, next_slab_first_start) — voxels below
         # the next slab's first window start receive no further contributions

@@ -132,3 +132,20 @@ def test_unknown_keys_ignored():
     raw["mask_detection"]["future_knob"] = 42
     cfg = PipelineConfig.from_dict(raw)
     assert cfg.mask_detection.simple_threshold_value == 250
+
+
+def test_round4_extension_keys_parse():
+    """blob_detection.importance / erosion_iters (r4 framework extensions)
+    parse from config dicts and default to the reference semantics."""
+    import json
+
+    raw = json.loads(json.dumps(REF_STYLE_CONFIG))
+    cfg = PipelineConfig.from_dict(raw)
+    assert cfg.blob_detection.importance == "constant"
+    assert cfg.blob_detection.erosion_iters == 30
+
+    raw["blob_detection"]["importance"] = "gaussian"
+    raw["blob_detection"]["erosion_iters"] = 5
+    cfg = PipelineConfig.from_dict(raw)
+    assert cfg.blob_detection.importance == "gaussian"
+    assert cfg.blob_detection.erosion_iters == 5

@@ -345,12 +345,22 @@ def test_real_lsfm_texture_ffd_acceptance():
     A_true[:, :3] = rot @ np.diag([1.05, 0.96, 1.04])
     A_true[:, 3] = [1.5, -2.0, 2.5]
     field_true = BSplineField.zeros(moving.shape, spacing=20.0)
-    rng = np.random.default_rng(12)
-    # strong enough that recovering it clearly beats affine-only (a ±1.5
-    # warp sat at the MI-FFD noise floor on this degraded texture)
-    field_true.ctrl = rng.uniform(-3.0, 3.0, field_true.ctrl.shape).astype(
-        np.float32
+    # coherent low-frequency ground-truth warp (measured: iid-random control
+    # values smooth into a sub-voxel effective field that the affine nearly
+    # absorbs, leaving MI-FFD nothing recoverable above its noise floor)
+    nz, ny, nx, _ = field_true.ctrl.shape
+    cz, cy, cx = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
     )
+    ctrl = np.stack(
+        [
+            3.5 * np.sin(2 * np.pi * cz / nz + 0.4),
+            3.0 * np.cos(2 * np.pi * cy / ny + 1.1),
+            3.5 * np.sin(2 * np.pi * (cx / nx + cz / nz)),
+        ],
+        axis=-1,
+    )
+    field_true.ctrl = ctrl.astype(np.float32)
     tf_true = affine_ffd_transform_fn(A_true, field_true)
     fixed_clean = apply_transform_volume(moving, moving.shape, tf_true)
     fixed = lsfm_degrade(
