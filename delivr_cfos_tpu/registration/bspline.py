@@ -61,6 +61,10 @@ def _axis_basis(n_vox: int, n_ctrl: int, spacing: float) -> np.ndarray:
     return B
 
 
+# per-call gather bound for at_points (tests shrink it to force chunking)
+_POINTS_CHUNK = 131072
+
+
 @dataclass
 class BSplineField:
     """Displacement field over fixed space: ctrl (Nz, Ny, Nx, 3), voxels."""
@@ -85,12 +89,26 @@ class BSplineField:
         )
 
     def at_points(self, points_zyx) -> jnp.ndarray:
-        """Displacement at arbitrary fixed-space points (N, 3)."""
-        return _points_field(
-            jnp.asarray(self.ctrl),
-            jnp.asarray(points_zyx, jnp.float32),
-            self.spacing,
-        )
+        """Displacement at arbitrary fixed-space points (N, 3).
+
+        Chunked: the per-point 64-tap gather carries heavy TPU layout
+        padding (~8 KB/point), so million-cell point sets are evaluated in
+        bounded chunks (a real hemisphere has ~1e6+ detected cells)."""
+        pts = jnp.asarray(points_zyx, jnp.float32)
+        ctrl = jnp.asarray(self.ctrl)
+        chunk = _POINTS_CHUNK
+        if pts.shape[0] <= chunk:
+            return _points_field(ctrl, pts, self.spacing)
+        outs = []
+        for lo in range(0, pts.shape[0], chunk):
+            part = pts[lo : lo + chunk]
+            n = part.shape[0]
+            if n < chunk:  # pad to the chunk shape: one compile total
+                part = jnp.concatenate(
+                    [part, jnp.zeros((chunk - n, 3), jnp.float32)], axis=0
+                )
+            outs.append(_points_field(ctrl, part, self.spacing)[:n])
+        return jnp.concatenate(outs, axis=0)
 
 
 @partial(jax.jit, static_argnames=("fixed_shape", "spacing"))
@@ -119,7 +137,10 @@ def _points_field(ctrl, points, spacing):
         iz = jnp.clip(i3[0] + jnp.arange(4), 0, ctrl.shape[0] - 1)
         iy = jnp.clip(i3[1] + jnp.arange(4), 0, ctrl.shape[1] - 1)
         ix = jnp.clip(i3[2] + jnp.arange(4), 0, ctrl.shape[2] - 1)
-        sub = ctrl[iz][:, iy][:, :, ix]  # (4, 4, 4, 3)
+        # ONE advanced-index gather: the chained ctrl[iz][:, iy][:, :, ix]
+        # form vmaps into a per-point (4, Ny, Nx, 3) intermediate — 360 GB
+        # at 4M points — while this gathers just the (4, 4, 4, 3) taps
+        sub = ctrl[iz[:, None, None], iy[None, :, None], ix[None, None, :]]
         w = wz[:, None, None] * wy[None, :, None] * wx[None, None, :]
         return jnp.sum(sub * w[..., None], axis=(0, 1, 2))
 

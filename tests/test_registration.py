@@ -76,6 +76,21 @@ def test_bspline_field_point_vs_dense_consistency():
         np.testing.assert_allclose(dense[p[0], p[1], p[2]], d, rtol=1e-4, atol=1e-4)
 
 
+def test_bspline_at_points_chunked_matches_single_call(monkeypatch):
+    """Chunked evaluation (million-cell point sets) is exact vs one call,
+    including the padded final partial chunk."""
+    from delivr_cfos_tpu.registration import bspline as bspline_mod
+
+    field = BSplineField.zeros((20, 24, 16), spacing=8.0)
+    rng = np.random.default_rng(3)
+    field.ctrl = rng.normal(0, 2, field.ctrl.shape).astype(np.float32)
+    pts = rng.uniform(0, 15, size=(205, 3)).astype(np.float32)
+    whole = np.asarray(field.at_points(pts))
+    monkeypatch.setattr(bspline_mod, "_POINTS_CHUNK", 64)  # 3 full + partial
+    chunked = np.asarray(field.at_points(pts))
+    np.testing.assert_array_equal(whole, chunked)
+
+
 def test_bspline_recovery_improves_over_affine():
     moving = _brain_like(seed=2)
     # ground-truth smooth deformation via a random coarse B-spline field
