@@ -157,8 +157,8 @@ def _bending_energy(ctrl):
 
 
 @partial(jax.jit, static_argnames=("fixed_shape", "spacing", "n_steps", "similarity"))
-def _optimize_ffd(fixed, moving, affine, ctrl0, fixed_shape, spacing, lr, lam, n_steps,
-                  similarity="ncc"):
+def _optimize_ffd(fixed, moving, affine, ctrl0, opt_state0, fixed_shape, spacing,
+                  lr, lam, n_steps, similarity="ncc"):
     grid = fixed_grid(fixed_shape)
     base = affine_apply(affine, grid)
     sim = similarity_fn(similarity)
@@ -179,10 +179,17 @@ def _optimize_ffd(fixed, moving, affine, ctrl0, fixed_shape, spacing, lr, lam, n
         ctrl = optax.apply_updates(ctrl, updates)
         return (ctrl, opt_state), loss
 
-    (ctrl, _), losses = jax.lax.scan(
-        step, (ctrl0, opt.init(ctrl0)), None, length=n_steps
+    (ctrl, opt_state), losses = jax.lax.scan(
+        step, (ctrl0, opt_state0), None, length=n_steps
     )
-    return ctrl, losses
+    return ctrl, opt_state, losses
+
+
+# Iterations per compiled scan segment. The remote TPU worker crashes
+# executing a monolithic 200-step scan of the MI-FFD grad at brain-phantom
+# sizes (4 MVox); bounded segments with a per-segment loss readback run the
+# identical step sequence (bit-equal: same carried ctrl/opt state) safely.
+_FFD_SCAN_CHUNK = 50
 
 
 def register_bspline(
@@ -199,22 +206,36 @@ def register_bspline(
     """Returns (BSplineField, final NCC). ``affine`` is the fixed→moving
     matrix from ``register_affine``; the FFD refines on top of it."""
     field = BSplineField.zeros(fixed.shape, spacing)
-    ctrl, losses = _optimize_ffd(
-        jnp.asarray(fixed, jnp.float32),
-        jnp.asarray(moving, jnp.float32),
-        jnp.asarray(affine, jnp.float32),
-        jnp.asarray(field.ctrl),
-        tuple(fixed.shape),
-        float(spacing),
-        lr,
-        bending_weight,
-        iters,
-        similarity=similarity,
-    )
+    fixed_j = jnp.asarray(fixed, jnp.float32)
+    moving_j = jnp.asarray(moving, jnp.float32)
+    affine_j = jnp.asarray(affine, jnp.float32)
+    ctrl = jnp.asarray(field.ctrl)
+    opt_state = optax.adam(lr).init(ctrl)
+    last_loss = 0.0
+    done = 0
+    while done < iters:
+        n = min(_FFD_SCAN_CHUNK, iters - done)
+        ctrl, opt_state, losses = _optimize_ffd(
+            fixed_j,
+            moving_j,
+            affine_j,
+            ctrl,
+            opt_state,
+            tuple(fixed.shape),
+            float(spacing),
+            lr,
+            bending_weight,
+            n,
+            similarity=similarity,
+        )
+        # scalar readback bounds the in-flight program (axon rig: see
+        # _FFD_SCAN_CHUNK) and synchronizes the segment
+        last_loss = float(losses[-1])
+        done += n
+        if verbose:
+            print(f"[ffd] {done}/{iters} loss {last_loss:.4f}")
     field.ctrl = np.asarray(ctrl)
-    ncc = -float(losses[-1]) + bending_weight * 0  # loss includes reg; report raw-ish
-    if verbose:
-        print(f"[ffd] final loss {float(losses[-1]):.4f}")
+    ncc = -last_loss + bending_weight * 0  # loss includes reg; report raw-ish
     return field, ncc
 
 

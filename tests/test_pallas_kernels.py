@@ -245,9 +245,12 @@ def test_conv3d_cs_stats_and_prologue():
     mish = v * np.tanh(np.log1p(np.exp(v)))
     ref = conv3d_cs(jnp.asarray(mish), w, b, h=H, w=W, interpret=True)
     got = conv3d_cs(x, w, b, h=H, w=W, interpret=True, in_affine=(a, c))
+    # bound: one bf16 ULP at the output magnitudes (~4-8 → ULP 0.03125);
+    # on the TPU backend interpret-mode tanh/exp differ from numpy by
+    # enough to flip a single bf16 rounding step
     assert (
         np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)).max()
-        < 0.02
+        <= 0.03125
     )
 
 
