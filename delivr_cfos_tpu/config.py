@@ -143,6 +143,9 @@ class AtlasAlignmentConfig:
     template_file: str = ""
     use_ffd: bool = True
     ffd_spacing: float = 16.0
+    # coarse→fine downsample-factor schedule for the FFD stage; (2, 1)
+    # front-loads iterations at 8× cheaper gradients on big brains
+    ffd_levels: tuple = (1,)
     # intensity similarity for registration: 'ncc' (linear relation) or
     # 'mi' (mutual information — cross-modality-robust)
     similarity: str = "ncc"

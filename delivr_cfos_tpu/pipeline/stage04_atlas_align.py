@@ -153,7 +153,7 @@ def resolve_registration(aa, fixed: np.ndarray):
         if template is not None and aa.use_ffd:
             field, _ = register_bspline(
                 fixed, template, affine, spacing=aa.ffd_spacing,
-                similarity=aa.similarity,
+                similarity=aa.similarity, levels=tuple(aa.ffd_levels),
             )
     elif template is not None:
         if aa.multistart:
@@ -175,7 +175,7 @@ def resolve_registration(aa, fixed: np.ndarray):
         if aa.use_ffd:
             field, _ = register_bspline(
                 fixed, template, affine, spacing=aa.ffd_spacing,
-                similarity=aa.similarity,
+                similarity=aa.similarity, levels=tuple(aa.ffd_levels),
             )
     else:
         log(

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from delivr_cfos_tpu.ops.resample import block_mean_downsample
 from delivr_cfos_tpu.registration.affine import masked_ncc, similarity_fn
 from delivr_cfos_tpu.registration.warp import (
     affine_apply,
@@ -202,38 +203,80 @@ def register_bspline(
     bending_weight: float = 1e-3,
     verbose: bool = False,
     similarity: str = "ncc",
+    levels=(1,),
 ):
     """Returns (BSplineField, final NCC). ``affine`` is the fixed→moving
-    matrix from ``register_affine``; the FFD refines on top of it."""
+    matrix from ``register_affine``; the FFD refines on top of it.
+
+    ``levels`` is a coarse→fine downsample-factor schedule (mBrainAligner's
+    ``local_registration`` is likewise multi-resolution). The control grid
+    keeps the SAME topology across levels: at factor f the level grid uses
+    spacing/f in level voxels, so control point j sits at level coordinate
+    (j−1)·spacing/f ↔ full-res (j−1)·spacing — identical knots — and level
+    displacements map to full-res by ×f (the same half-voxel-free level
+    convention ``register_affine`` uses). A level-f similarity+grad step is
+    ~f³ cheaper, so e.g. ``levels=(2, 1)`` front-loads most iterations at
+    an 8× discount. ``iters``/``lr`` may be per-level tuples. The default
+    ``(1,)`` is the original single-resolution path, bit-identical.
+    """
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+    n_levels = len(levels)
+    iters_t = (iters,) * n_levels if np.isscalar(iters) else tuple(iters)
+    lrs_t = (lr,) * n_levels if np.isscalar(lr) else tuple(lr)
+    if not (len(iters_t) == len(lrs_t) == n_levels):
+        raise ValueError("levels/iters/lr schedules disagree in length")
     field = BSplineField.zeros(fixed.shape, spacing)
-    fixed_j = jnp.asarray(fixed, jnp.float32)
-    moving_j = jnp.asarray(moving, jnp.float32)
-    affine_j = jnp.asarray(affine, jnp.float32)
-    ctrl = jnp.asarray(field.ctrl)
-    opt_state = optax.adam(lr).init(ctrl)
+    affine = np.asarray(affine, np.float32)
+    ctrl = jnp.asarray(field.ctrl)  # full-resolution voxel units throughout
     last_loss = 0.0
-    done = 0
-    while done < iters:
-        n = min(_FFD_SCAN_CHUNK, iters - done)
-        ctrl, opt_state, losses = _optimize_ffd(
-            fixed_j,
-            moving_j,
-            affine_j,
-            ctrl,
-            opt_state,
-            tuple(fixed.shape),
-            float(spacing),
-            lr,
-            bending_weight,
-            n,
-            similarity=similarity,
-        )
-        # scalar readback bounds the in-flight program (axon rig: see
-        # _FFD_SCAN_CHUNK) and synchronizes the segment
-        last_loss = float(losses[-1])
-        done += n
-        if verbose:
-            print(f"[ffd] {done}/{iters} loss {last_loss:.4f}")
+    for level, level_iters, level_lr in zip(levels, iters_t, lrs_t):
+        level = int(level)
+        if level == 1:
+            fixed_l, moving_l = fixed, moving
+            affine_l = affine
+        else:
+            fac = (level, level, level)
+            fixed_l = np.asarray(
+                block_mean_downsample(jnp.asarray(fixed), fac)
+            )
+            moving_l = np.asarray(
+                block_mean_downsample(jnp.asarray(moving), fac)
+            )
+            # S⁻¹ A S: linear part is scale-invariant, translation ÷ f
+            affine_l = affine.copy()
+            affine_l[:, 3] = affine[:, 3] / level
+        fixed_j = jnp.asarray(fixed_l)
+        moving_j = jnp.asarray(moving_l)
+        affine_j = jnp.asarray(affine_l)
+        ctrl_l = ctrl / level  # displacement in level voxels
+        opt_state = optax.adam(level_lr).init(ctrl_l)
+        done = 0
+        while done < level_iters:
+            n = min(_FFD_SCAN_CHUNK, level_iters - done)
+            ctrl_l, opt_state, losses = _optimize_ffd(
+                fixed_j,
+                moving_j,
+                affine_j,
+                ctrl_l,
+                opt_state,
+                tuple(fixed_l.shape),
+                float(spacing) / level,
+                level_lr,
+                bending_weight,
+                n,
+                similarity=similarity,
+            )
+            # scalar readback bounds the in-flight program (axon rig: see
+            # _FFD_SCAN_CHUNK) and synchronizes the segment
+            last_loss = float(losses[-1])
+            done += n
+            if verbose:
+                print(
+                    f"[ffd] level {level}: {done}/{level_iters} "
+                    f"loss {last_loss:.4f}"
+                )
+        ctrl = ctrl_l * level
     field.ctrl = np.asarray(ctrl)
     ncc = -last_loss + bending_weight * 0  # loss includes reg; report raw-ish
     return field, ncc
