@@ -89,7 +89,7 @@ def pipeline_run(tmp_path_factory):
             "input_csv_location": "05_region_assignment/",
             "input_size_location": "03_postprocessing/output/",
             "input_prediction_location": "02_blob_detection/output/",
-            "cache_location": "06_visualization/cache/",
+            "cache_location": str(out / "06_visualization/cache"),
             "output_location": "06_visualization/output/",
         },
         "FLAGS": {

@@ -289,7 +289,7 @@ def _make_cfg(tmp, raw, out_name, weights, template_path, ann_path,
                 "input_csv_location": "05_region_assignment/",
                 "input_size_location": "03_postprocessing/output/",
                 "input_prediction_location": "02_blob_detection/output/",
-                "cache_location": "06_visualization/cache/",
+                "cache_location": str(tmp / out_name / "06_visualization/cache"),
                 "output_location": "06_visualization/output/",
                 "region_id_rgb": True,
             },

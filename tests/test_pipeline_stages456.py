@@ -131,7 +131,7 @@ def full_run(tmp_path_factory):
             "input_csv_location": "05_region_assignment/",
             "input_size_location": "03_postprocessing/output/",
             "input_prediction_location": "02_blob_detection/output/",
-            "cache_location": "06_visualization/cache/",
+            "cache_location": str(out / "06_visualization/cache"),
             "output_location": "06_visualization/output/",
             "region_id_rgb": True,
             "region_id_grayvalues": True,
