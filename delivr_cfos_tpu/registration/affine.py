@@ -95,7 +95,8 @@ def similarity_fn(name: str):
 
 
 @partial(jax.jit, static_argnames=("n_steps", "similarity"), donate_argnames=())
-def _optimize_level(fixed, moving, affine0, lr, n_steps, similarity="ncc"):
+def _optimize_level(fixed, moving, affine0, opt_state0, lr, n_steps,
+                    similarity="ncc"):
     grid = fixed_grid(fixed.shape)
     fshape = fixed.shape
     sim = similarity_fn(similarity)
@@ -115,10 +116,18 @@ def _optimize_level(fixed, moving, affine0, lr, n_steps, similarity="ncc"):
         affine = optax.apply_updates(affine, updates)
         return (affine, opt_state), loss
 
-    (affine, _), losses = jax.lax.scan(
-        step, (affine0, opt.init(affine0)), None, length=n_steps
+    (affine, opt_state), losses = jax.lax.scan(
+        step, (affine0, opt_state0), None, length=n_steps
     )
-    return affine, losses
+    return affine, opt_state, losses
+
+
+# Iterations per compiled scan segment: the remote TPU worker crashes
+# executing monolithic 80+-step similarity-grad scans at production volume
+# sizes (~10 MVox); segments with a per-segment loss readback run the
+# identical step sequence (bit-equal carried affine/adam state). Shared
+# convention with registration/bspline.py::_FFD_SCAN_CHUNK.
+_AFFINE_SCAN_CHUNK = 50
 
 
 def _pyramid(vol: np.ndarray, level: int) -> jnp.ndarray:
@@ -207,11 +216,18 @@ def register_affine(
         m_l = _pyramid(moving, level)
         # move translation into level coords
         aff_l = affine.at[:, 3].set(affine[:, 3] / level)
-        aff_l, losses = _optimize_level(
-            f_l, m_l, aff_l, lr, n_iter, similarity=similarity
-        )
+        opt_state = optax.adam(lr).init(aff_l)
+        done = 0
+        while done < n_iter:
+            n = min(_AFFINE_SCAN_CHUNK, n_iter - done)
+            aff_l, opt_state, losses = _optimize_level(
+                f_l, m_l, aff_l, opt_state, lr, n, similarity=similarity
+            )
+            # scalar readback bounds the in-flight program (axon rig: see
+            # _AFFINE_SCAN_CHUNK) and synchronizes the segment
+            final_ncc = -float(losses[-1])
+            done += n
         affine = aff_l.at[:, 3].set(aff_l[:, 3] * level)
-        final_ncc = -float(losses[-1])
         if verbose:
             print(f"[affine] level {level}: NCC {final_ncc:.4f}")
     return np.asarray(affine), final_ncc

@@ -113,10 +113,13 @@ def main():
     )
     print(f"affine {time.time()-t0:.0f}s")
     t0 = time.time()
+    levels = (2, 1) if "--multires" in sys.argv else (1,)
+    iters = (200, 60) if levels == (2, 1) else 200
     field_est, _ = register_bspline(
-        fixed, moving, A_est, spacing=25.0, iters=200, similarity="mi"
+        fixed, moving, A_est, spacing=25.0, iters=iters, similarity="mi",
+        levels=levels,
     )
-    print(f"ffd {time.time()-t0:.0f}s")
+    print(f"ffd levels={levels} {time.time()-t0:.0f}s")
 
     zz, yy, xx = np.nonzero(fixed_clean > np.percentile(fixed_clean, 99))
     rng = np.random.default_rng(5)
