@@ -30,6 +30,7 @@ from delivr_cfos_tpu.registration.warp import (
     inside_weight,
     moments_init,
     sample_volume,
+    scan_chunk_for,
 )
 
 
@@ -122,12 +123,12 @@ def _optimize_level(fixed, moving, affine0, opt_state0, lr, n_steps,
     return affine, opt_state, losses
 
 
-# Iterations per compiled scan segment: the remote TPU worker crashes
-# executing monolithic 80+-step similarity-grad scans at production volume
-# sizes (~10 MVox); segments with a per-segment loss readback run the
-# identical step sequence (bit-equal carried affine/adam state). Shared
-# convention with registration/bspline.py::_FFD_SCAN_CHUNK.
-_AFFINE_SCAN_CHUNK = 50
+# Scan segmentation: the remote TPU worker crashes executing any single
+# compiled program running ~2 min+ of similarity-grad steps; segments with
+# a per-segment loss readback run the identical step sequence (bit-equal
+# carried affine/adam state). The segment length is voxel-proportional —
+# see registration/warp.py::scan_chunk_for (shared with bspline.py).
+_AFFINE_SCAN_CHUNK = 50  # upper cap; scan_chunk_for shrinks it for big volumes
 
 
 def _pyramid(vol: np.ndarray, level: int) -> jnp.ndarray:
@@ -218,8 +219,9 @@ def register_affine(
         aff_l = affine.at[:, 3].set(affine[:, 3] / level)
         opt_state = optax.adam(lr).init(aff_l)
         done = 0
+        chunk = scan_chunk_for(f_l.size, _AFFINE_SCAN_CHUNK)
         while done < n_iter:
-            n = min(_AFFINE_SCAN_CHUNK, n_iter - done)
+            n = min(chunk, n_iter - done)
             aff_l, opt_state, losses = _optimize_level(
                 f_l, m_l, aff_l, opt_state, lr, n, similarity=similarity
             )

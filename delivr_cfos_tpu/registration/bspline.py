@@ -32,6 +32,7 @@ from delivr_cfos_tpu.registration.warp import (
     fixed_grid,
     inside_weight,
     sample_volume,
+    scan_chunk_for,
 )
 
 
@@ -186,11 +187,13 @@ def _optimize_ffd(fixed, moving, affine, ctrl0, opt_state0, fixed_shape, spacing
     return ctrl, opt_state, losses
 
 
-# Iterations per compiled scan segment. The remote TPU worker crashes
-# executing a monolithic 200-step scan of the MI-FFD grad at brain-phantom
-# sizes (4 MVox); bounded segments with a per-segment loss readback run the
-# identical step sequence (bit-equal: same carried ctrl/opt state) safely.
-_FFD_SCAN_CHUNK = 50
+# Scan segmentation: the remote TPU worker crashes executing any single
+# compiled program running ~2 min+ of similarity-grad steps (monolithic
+# 200-step MI-FFD scans already died at 4 MVox). Bounded segments with a
+# per-segment loss readback run the identical step sequence (bit-equal:
+# same carried ctrl/opt state). Segment length is voxel-proportional —
+# see registration/warp.py::scan_chunk_for (shared with affine.py).
+_FFD_SCAN_CHUNK = 50  # upper cap; scan_chunk_for shrinks it for big volumes
 
 
 def register_bspline(
@@ -252,8 +255,9 @@ def register_bspline(
         ctrl_l = ctrl / level  # displacement in level voxels
         opt_state = optax.adam(level_lr).init(ctrl_l)
         done = 0
+        chunk = scan_chunk_for(fixed_j.size, _FFD_SCAN_CHUNK)
         while done < level_iters:
-            n = min(_FFD_SCAN_CHUNK, level_iters - done)
+            n = min(chunk, level_iters - done)
             ctrl_l, opt_state, losses = _optimize_ffd(
                 fixed_j,
                 moving_j,

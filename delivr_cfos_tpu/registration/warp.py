@@ -13,6 +13,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Step-voxel budget per compiled similarity-grad scan segment. The remote
+# TPU worker kills (and takes down) any single program whose device
+# execution runs ~2 min+: measured at Allen-50um scale (9.6 MVox, MI), a
+# 25-step grad scan (~71 s) survives while a 50-step one (~140 s) crashes
+# the worker. One step's wall time is ∝ voxel count, so bounding
+# steps × voxels bounds segment wall time: 2.0e8 ≈ 20 steps at 9.6 MVox
+# (~57 s), comfortably inside the envelope. Affine and FFD registration
+# both chunk their scans with this.
+_SCAN_STEP_VOXEL_BUDGET = 2.0e8
+
+
+def scan_chunk_for(n_voxels: int, max_chunk: int = 50) -> int:
+    """Iterations per compiled scan segment for a similarity-grad optimizer
+    over ``n_voxels``-sized volumes (see _SCAN_STEP_VOXEL_BUDGET)."""
+    return max(1, min(max_chunk, int(_SCAN_STEP_VOXEL_BUDGET // max(n_voxels, 1))))
+
 
 def sample_volume(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sample ``volume`` (Z, Y, X) at ``coords`` (..., 3) (z, y, x).
