@@ -153,6 +153,13 @@ class AtlasAlignmentConfig:
     # schedule (recovers mirrored acquisitions, like the reference tool's
     # RANSAC/feature global stage)
     multistart: bool = True
+    # stochastic similarity sampling: gradient steps evaluate the
+    # similarity on this many fresh jittered-lattice coordinates instead
+    # of the full grid (elastix-style random-coordinate sampler). 0 =
+    # dense full-grid gradients (default, bit-identical to r3). Sampled
+    # mode trades recovery accuracy for wall clock; measured trade-offs
+    # at Allen-50 µm scale in PERF.md r4.
+    n_samples: int = 0
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,7 @@ def resolve_registration(aa, fixed: np.ndarray):
             field, _ = register_bspline(
                 fixed, template, affine, spacing=aa.ffd_spacing,
                 similarity=aa.similarity, levels=tuple(aa.ffd_levels),
+                n_samples=aa.n_samples,
             )
     elif template is not None:
         if aa.multistart:
@@ -162,13 +163,15 @@ def resolve_registration(aa, fixed: np.ndarray):
             )
 
             affine, ncc, flip = register_affine_multistart(
-                fixed, template, similarity=aa.similarity
+                fixed, template, similarity=aa.similarity,
+                n_samples=aa.n_samples,
             )
             if flip:
                 log(f"Multi-start winner flipped axes {flip}")
         else:
             affine, ncc = register_affine(
-                fixed, template, similarity=aa.similarity
+                fixed, template, similarity=aa.similarity,
+                n_samples=aa.n_samples,
             )
         log(f"Affine {aa.similarity.upper()} {ncc:.4f}")
         mode = f"intensity-{aa.similarity}"
@@ -176,6 +179,7 @@ def resolve_registration(aa, fixed: np.ndarray):
             field, _ = register_bspline(
                 fixed, template, affine, spacing=aa.ffd_spacing,
                 similarity=aa.similarity, levels=tuple(aa.ffd_levels),
+                n_samples=aa.n_samples,
             )
     else:
         log(

@@ -95,30 +95,75 @@ def similarity_fn(name: str):
     raise ValueError(f"unknown similarity {name!r} (use 'ncc' or 'mi')")
 
 
-@partial(jax.jit, static_argnames=("n_steps", "similarity"), donate_argnames=())
+def sample_coords(key, shape, n_samples: int) -> jnp.ndarray:
+    """(~n_samples, 3) continuous fixed-space coordinates: a jittered
+    lattice (stratified sampling — each of ~n_samples volume cells
+    contributes exactly one uniform point per step). Off-grid like
+    elastix's random-coordinate sampler, but with far lower estimator
+    variance for spatially-local parameters: a B-spline control point's
+    support always receives its share of samples, whereas i.i.d.-uniform
+    draws leave it with Poisson-count noise on ~5 samples at production
+    sizes (measured to stall MI-FFD recovery — PERF.md r4).
+
+    ``shape``/``n_samples`` are trace-time constants; the lattice layout is
+    Python/numpy, only the jitter is traced."""
+    dims = np.asarray(shape, np.float64)
+    scale = (n_samples / dims.prod()) ** (1.0 / 3.0)
+    counts = np.maximum(1, np.round(dims * scale).astype(int))
+    grids = np.meshgrid(*[np.arange(c) for c in counts], indexing="ij")
+    base = jnp.asarray(
+        np.stack(grids, axis=-1).reshape(-1, 3).astype(np.float32)
+    )
+    pitch = jnp.asarray((dims / counts).astype(np.float32))
+    u = jax.random.uniform(key, base.shape, jnp.float32)
+    return jnp.minimum(
+        (base + u) * pitch, jnp.asarray((dims - 1.0).astype(np.float32))
+    )
+
+
+@partial(jax.jit, static_argnames=("n_steps", "similarity", "n_samples"),
+         donate_argnames=())
 def _optimize_level(fixed, moving, affine0, opt_state0, lr, n_steps,
-                    similarity="ncc"):
-    grid = fixed_grid(fixed.shape)
+                    similarity="ncc", n_samples=0, key=None):
     fshape = fixed.shape
     sim = similarity_fn(similarity)
 
-    def loss_fn(affine):
-        coords = affine_apply(affine, grid)
-        warped = sample_volume(moving, coords)
-        w = inside_weight(coords, moving.shape)
-        return -sim(warped, fixed, w)
+    if n_samples:
+        # stochastic similarity (elastix-style random coordinate subset,
+        # fresh draw per step): each Adam step sees an unbiased ~n_samples
+        # estimate of the dense similarity — O(n_samples) instead of
+        # O(n_voxels) per step
+        def loss_fn(affine, coords_f):
+            fixed_vals = sample_volume(fixed, coords_f)
+            coords = affine_apply(affine, coords_f)
+            warped = sample_volume(moving, coords)
+            w = inside_weight(coords, moving.shape)
+            return -sim(warped, fixed_vals, w)
+
+        xs = jax.random.split(key, n_steps)
+    else:
+        grid = fixed_grid(fshape)
+
+        def loss_fn(affine, _):
+            coords = affine_apply(affine, grid)
+            warped = sample_volume(moving, coords)
+            w = inside_weight(coords, moving.shape)
+            return -sim(warped, fixed, w)
+
+        xs = None
 
     opt = optax.adam(lr)
 
-    def step(carry, _):
+    def step(carry, x):
         affine, opt_state = carry
-        loss, g = jax.value_and_grad(loss_fn)(affine)
+        coords_f = sample_coords(x, fshape, n_samples) if n_samples else None
+        loss, g = jax.value_and_grad(loss_fn)(affine, coords_f)
         updates, opt_state = opt.update(g, opt_state)
         affine = optax.apply_updates(affine, updates)
         return (affine, opt_state), loss
 
     (affine, opt_state), losses = jax.lax.scan(
-        step, (affine0, opt_state0), None, length=n_steps
+        step, (affine0, opt_state0), xs, length=n_steps
     )
     return affine, opt_state, losses
 
@@ -178,7 +223,11 @@ def register_affine_multistart(
             iters=(coarse_iters,),
             lrs=(0.02,),
             init=init,
-            **{k: v for k, v in kwargs.items() if k == "similarity"},
+            **{
+                k: v
+                for k, v in kwargs.items()
+                if k in ("similarity", "n_samples", "seed")
+            },
         )
         candidates.append((score, flip, aff))
     score, flip, aff = max(candidates, key=lambda c: c[0])
@@ -197,6 +246,8 @@ def register_affine(
     init: np.ndarray | None = None,
     verbose: bool = False,
     similarity: str = "ncc",
+    n_samples: int = 0,
+    seed: int = 0,
 ):
     """Returns ((3, 4) affine fixed→moving at full resolution, final score).
 
@@ -204,32 +255,65 @@ def register_affine(
     voxel coordinates, then rescaled: if F_l = F/s, M_l = M/s then
     A_l = S⁻¹ A S with S = diag(s) ⇒ linear part is scale-invariant and the
     translation scales by s.
+
+    ``n_samples > 0`` switches each gradient step to a stochastic
+    similarity over that many fresh uniform random fixed-space coordinates
+    (elastix-style): O(n_samples) per step instead of O(n_voxels) —
+    hundreds of times faster at production volume sizes, at the cost of
+    gradient noise Adam absorbs. The reported final score is always a
+    DENSE similarity evaluation of the returned affine (comparable across
+    runs and to the dense path). 0 = dense gradients (default).
     """
     fixed = np.asarray(fixed, np.float32)
     moving = np.asarray(moving, np.float32)
     if init is None:
         init = moments_init(fixed, moving)
     affine = jnp.asarray(init, jnp.float32)
+    base_key = jax.random.PRNGKey(seed)
 
     final_ncc = None
-    for level, n_iter, lr in zip(levels, iters, lrs):
+    for li, (level, n_iter, lr) in enumerate(zip(levels, iters, lrs)):
         f_l = _pyramid(fixed, level)
         m_l = _pyramid(moving, level)
+        # sampling only pays where the grid is big; small pyramid levels
+        # keep dense gradients. The 64× bar is deliberate: coarse levels
+        # are cheap in absolute terms AND do the orientation-critical work
+        # (the multistart flip race runs there) — sampled-MI noise there
+        # picked a wrong flip at Allen scale, while sampling only the
+        # expensive fine levels kept recovery acceptance-equal (PERF.md r4)
+        ns = n_samples if (n_samples and f_l.size > 64 * n_samples) else 0
         # move translation into level coords
         aff_l = affine.at[:, 3].set(affine[:, 3] / level)
         opt_state = optax.adam(lr).init(aff_l)
         done = 0
-        chunk = scan_chunk_for(f_l.size, _AFFINE_SCAN_CHUNK)
+        chunk = scan_chunk_for(ns if ns else f_l.size, _AFFINE_SCAN_CHUNK)
         while done < n_iter:
             n = min(chunk, n_iter - done)
+            seg_key = jax.random.fold_in(
+                jax.random.fold_in(base_key, li), done
+            )
             aff_l, opt_state, losses = _optimize_level(
-                f_l, m_l, aff_l, opt_state, lr, n, similarity=similarity
+                f_l, m_l, aff_l, opt_state, lr, n, similarity=similarity,
+                n_samples=ns, key=seg_key,
             )
             # scalar readback bounds the in-flight program (axon rig: see
             # _AFFINE_SCAN_CHUNK) and synchronizes the segment
             final_ncc = -float(losses[-1])
             done += n
+        if ns:
+            final_ncc = float(dense_score(f_l, m_l, aff_l, similarity))
         affine = aff_l.at[:, 3].set(aff_l[:, 3] * level)
         if verbose:
             print(f"[affine] level {level}: NCC {final_ncc:.4f}")
     return np.asarray(affine), final_ncc
+
+
+@partial(jax.jit, static_argnames=("similarity",))
+def dense_score(fixed, moving, affine, similarity="ncc"):
+    """Dense (full-grid) similarity of ``affine`` on a fixed/moving pair —
+    the score the stochastic path reports so scores stay comparable."""
+    grid = fixed_grid(fixed.shape)
+    coords = affine_apply(affine, grid)
+    warped = sample_volume(moving, coords)
+    w = inside_weight(coords, moving.shape)
+    return similarity_fn(similarity)(warped, fixed, w)

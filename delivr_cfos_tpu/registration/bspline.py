@@ -26,7 +26,11 @@ import numpy as np
 import optax
 
 from delivr_cfos_tpu.ops.resample import block_mean_downsample
-from delivr_cfos_tpu.registration.affine import masked_ncc, similarity_fn
+from delivr_cfos_tpu.registration.affine import (
+    masked_ncc,
+    sample_coords,
+    similarity_fn,
+)
 from delivr_cfos_tpu.registration.warp import (
     affine_apply,
     fixed_grid,
@@ -158,31 +162,53 @@ def _bending_energy(ctrl):
     return e
 
 
-@partial(jax.jit, static_argnames=("fixed_shape", "spacing", "n_steps", "similarity"))
+@partial(jax.jit, static_argnames=("fixed_shape", "spacing", "n_steps",
+                                   "similarity", "n_samples"))
 def _optimize_ffd(fixed, moving, affine, ctrl0, opt_state0, fixed_shape, spacing,
-                  lr, lam, n_steps, similarity="ncc"):
-    grid = fixed_grid(fixed_shape)
-    base = affine_apply(affine, grid)
+                  lr, lam, n_steps, similarity="ncc", n_samples=0, key=None):
     sim = similarity_fn(similarity)
 
-    def loss_fn(ctrl):
-        disp = _dense_field(ctrl, fixed_shape, spacing)
-        coords = base + disp
-        warped = sample_volume(moving, coords)
-        w = inside_weight(coords, moving.shape)
-        return -sim(warped, fixed, w) + lam * _bending_energy(ctrl)
+    if n_samples:
+        # stochastic similarity (see affine.py::_optimize_level): per step,
+        # a fresh uniform coordinate subset; displacement evaluated by the
+        # 64-tap point gather instead of the dense 3-matmul field
+        def loss_fn(ctrl, coords_f):
+            fixed_vals = sample_volume(fixed, coords_f)
+            coords = affine_apply(affine, coords_f) + _points_field(
+                ctrl, coords_f, spacing
+            )
+            warped = sample_volume(moving, coords)
+            w = inside_weight(coords, moving.shape)
+            return -sim(warped, fixed_vals, w) + lam * _bending_energy(ctrl)
+
+        xs = jax.random.split(key, n_steps)
+    else:
+        grid = fixed_grid(fixed_shape)
+        base = affine_apply(affine, grid)
+
+        def loss_fn(ctrl, _):
+            disp = _dense_field(ctrl, fixed_shape, spacing)
+            coords = base + disp
+            warped = sample_volume(moving, coords)
+            w = inside_weight(coords, moving.shape)
+            return -sim(warped, fixed, w) + lam * _bending_energy(ctrl)
+
+        xs = None
 
     opt = optax.adam(lr)
 
-    def step(carry, _):
+    def step(carry, x):
         ctrl, opt_state = carry
-        loss, g = jax.value_and_grad(loss_fn)(ctrl)
+        coords_f = (
+            sample_coords(x, fixed_shape, n_samples) if n_samples else None
+        )
+        loss, g = jax.value_and_grad(loss_fn)(ctrl, coords_f)
         updates, opt_state = opt.update(g, opt_state)
         ctrl = optax.apply_updates(ctrl, updates)
         return (ctrl, opt_state), loss
 
     (ctrl, opt_state), losses = jax.lax.scan(
-        step, (ctrl0, opt_state0), None, length=n_steps
+        step, (ctrl0, opt_state0), xs, length=n_steps
     )
     return ctrl, opt_state, losses
 
@@ -207,6 +233,8 @@ def register_bspline(
     verbose: bool = False,
     similarity: str = "ncc",
     levels=(1,),
+    n_samples: int = 0,
+    seed: int = 0,
 ):
     """Returns (BSplineField, final NCC). ``affine`` is the fixed→moving
     matrix from ``register_affine``; the FFD refines on top of it.
@@ -221,6 +249,12 @@ def register_bspline(
     ~f³ cheaper, so e.g. ``levels=(2, 1)`` front-loads most iterations at
     an 8× discount. ``iters``/``lr`` may be per-level tuples. The default
     ``(1,)`` is the original single-resolution path, bit-identical.
+
+    ``n_samples > 0``: stochastic similarity over that many fresh uniform
+    random coordinates per gradient step (see ``register_affine``) —
+    displacements come from the 64-tap point gather instead of the dense
+    B-spline field, so a step is O(n_samples) regardless of volume size.
+    The returned score is always a dense evaluation. 0 = dense (default).
     """
     fixed = np.asarray(fixed, np.float32)
     moving = np.asarray(moving, np.float32)
@@ -252,12 +286,17 @@ def register_bspline(
         fixed_j = jnp.asarray(fixed_l)
         moving_j = jnp.asarray(moving_l)
         affine_j = jnp.asarray(affine_l)
+        # small levels keep dense gradients (see register_affine's 64× bar)
+        ns = n_samples if (n_samples and fixed_j.size > 64 * n_samples) else 0
         ctrl_l = ctrl / level  # displacement in level voxels
         opt_state = optax.adam(level_lr).init(ctrl_l)
         done = 0
-        chunk = scan_chunk_for(fixed_j.size, _FFD_SCAN_CHUNK)
+        chunk = scan_chunk_for(ns if ns else fixed_j.size, _FFD_SCAN_CHUNK)
         while done < level_iters:
             n = min(chunk, level_iters - done)
+            seg_key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed), level), done
+            )
             ctrl_l, opt_state, losses = _optimize_ffd(
                 fixed_j,
                 moving_j,
@@ -270,6 +309,8 @@ def register_bspline(
                 bending_weight,
                 n,
                 similarity=similarity,
+                n_samples=ns,
+                key=seg_key,
             )
             # scalar readback bounds the in-flight program (axon rig: see
             # _FFD_SCAN_CHUNK) and synchronizes the segment
@@ -281,9 +322,30 @@ def register_bspline(
                     f"loss {last_loss:.4f}"
                 )
         ctrl = ctrl_l * level
+        if ns:
+            last_loss = -float(
+                _ffd_dense_score(
+                    fixed_j, moving_j, affine_j, ctrl_l,
+                    tuple(fixed_l.shape), float(spacing) / level, similarity,
+                )
+            )
     field.ctrl = np.asarray(ctrl)
     ncc = -last_loss + bending_weight * 0  # loss includes reg; report raw-ish
     return field, ncc
+
+
+@partial(jax.jit, static_argnames=("fixed_shape", "spacing", "similarity"))
+def _ffd_dense_score(fixed, moving, affine, ctrl, fixed_shape, spacing,
+                     similarity="ncc"):
+    """Dense similarity of affine+FFD — reported by the stochastic path so
+    scores stay comparable to the dense optimizer's."""
+    grid = fixed_grid(fixed_shape)
+    coords = affine_apply(affine, grid) + _dense_field(
+        ctrl, fixed_shape, spacing
+    )
+    warped = sample_volume(moving, coords)
+    w = inside_weight(coords, moving.shape)
+    return similarity_fn(similarity)(warped, fixed, w)
 
 
 def warp_points(affine: np.ndarray, field: BSplineField | None, points_zyx):

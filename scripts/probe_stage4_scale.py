@@ -69,20 +69,31 @@ def main():
     tf_true = affine_ffd_transform_fn(A_true, field_true)
 
     t0 = time.time()
-    Z, Y, X = moving.shape
-    grid = fixed_grid(moving.shape)
-    coords = affine_apply(
-        jnp.asarray(A_true), grid.reshape(-1, 3)
-    ).reshape(Z, Y, X, 3) + field_true.dense_field()
-    fixed_clean = np.asarray(sample_volume(jnp.asarray(moving), coords))
-    fixed = lsfm_degrade(
-        fixed_clean, seed=1, blur_sigma=(1.6, 0.8, 0.8), noise_std=4.0,
-        fov_crop_z=0.0,
-    )
+    fcache = "/tmp/s4_fixed_cache.npz"  # phantom build is host-core bound
+    if os.path.exists(fcache):
+        dat = np.load(fcache)
+        fixed_clean, fixed = dat["clean"], dat["deg"]
+    else:
+        Z, Y, X = moving.shape
+        grid = fixed_grid(moving.shape)
+        coords = affine_apply(
+            jnp.asarray(A_true), grid.reshape(-1, 3)
+        ).reshape(Z, Y, X, 3) + field_true.dense_field()
+        fixed_clean = np.asarray(sample_volume(jnp.asarray(moving), coords))
+        fixed = lsfm_degrade(
+            fixed_clean, seed=1, blur_sigma=(1.6, 0.8, 0.8), noise_std=4.0,
+            fov_crop_z=0.0,
+        )
+        np.savez(fcache, clean=fixed_clean, deg=fixed)
     print(f"phantom built {time.time()-t0:.0f}s", flush=True)
 
+    ns = 0
+    if "--samples" in sys.argv:
+        ns = int(sys.argv[sys.argv.index("--samples") + 1])
     t0 = time.time()
-    A_est, score, flip = register_affine_multistart(fixed, moving, similarity="mi")
+    A_est, score, flip = register_affine_multistart(
+        fixed, moving, similarity="mi", n_samples=ns
+    )
     t_aff = time.time() - t0
     print(f"multistart affine {t_aff:.0f}s score {score:.4f} flip {flip}", flush=True)
 
@@ -91,7 +102,7 @@ def main():
     iters = (150, 50) if levels == (2, 1) else 150
     field_est, _ = register_bspline(
         fixed, moving, A_est, spacing=32.0, iters=iters, similarity="mi",
-        levels=levels,
+        levels=levels, n_samples=ns,
     )
     t_ffd = time.time() - t0
     print(f"ffd levels={levels} {t_ffd:.0f}s", flush=True)

@@ -156,6 +156,99 @@ def test_bspline_multires_recovery():
     assert err < 1.5, f"max point error {err}"
 
 
+def test_sample_coords_stratified():
+    """The jittered-lattice sampler is stratified: every lattice cell gets
+    exactly one point, points stay in-bounds, and the draw is key-dependent
+    (fresh coordinates each optimizer step)."""
+    import jax
+
+    from delivr_cfos_tpu.registration.affine import sample_coords
+
+    shape = (30, 40, 50)
+    n = 1000
+    pts = np.asarray(sample_coords(jax.random.PRNGKey(0), shape, n))
+    assert pts.shape[1] == 3
+    # ~n points (lattice rounding), never wildly off
+    assert 0.5 * n <= pts.shape[0] <= 2.0 * n
+    assert (pts >= 0).all()
+    assert (pts <= np.asarray(shape, np.float32) - 1.0).all()
+    # stratification: each point lies in its own lattice cell → the set of
+    # occupied cells has no duplicates and covers every cell
+    dims = np.asarray(shape, np.float64)
+    scale = (pts.shape[0] / dims.prod()) ** (1.0 / 3.0)
+    counts = np.maximum(1, np.round(dims * scale).astype(int))
+    pitch = dims / counts
+    cells = np.minimum(
+        (pts / pitch).astype(int), counts - 1
+    )
+    lin = np.ravel_multi_index(cells.T, counts)
+    assert len(np.unique(lin)) == pts.shape[0]
+    # key-dependence
+    pts2 = np.asarray(sample_coords(jax.random.PRNGKey(1), shape, n))
+    assert not np.array_equal(pts, pts2)
+
+
+def test_affine_recovery_sampled():
+    """Stochastic-similarity affine (n_samples>0, elastix-style) recovers
+    the same transform as the dense path within the dense test's bound.
+    n_samples=1024 activates sampling at level 1 only (48·56·40 voxels >
+    64·1024; the level-2 grid stays dense per the 64× bar)."""
+    moving = _brain_like()
+    true = np.array(
+        [
+            [1.08, 0.03, 0.0, -2.0],
+            [-0.02, 0.95, 0.04, 3.0],
+            [0.0, 0.02, 1.05, -1.5],
+        ],
+        np.float32,
+    )
+    fixed = _apply_affine_to_volume(moving, true, moving.shape)
+    est, ncc = register_affine(
+        fixed, moving, levels=(2, 1), iters=(300, 150), n_samples=1024
+    )
+    # the reported score is a DENSE evaluation (comparable to the dense path)
+    assert ncc > 0.99
+    pts = np.array([[24, 28, 20], [15, 35, 25], [30, 20, 15]], np.float32)
+    true_m = pts @ true[:, :3].T + true[:, 3]
+    est_m = pts @ est[:, :3].T + est[:, 3]
+    err = np.abs(true_m - est_m).max()
+    assert err < 1.25, f"max point error {err}"
+    # deterministic for a fixed seed
+    est2, _ = register_affine(
+        fixed, moving, levels=(2, 1), iters=(300, 150), n_samples=1024
+    )
+    np.testing.assert_array_equal(est, est2)
+
+
+def test_bspline_sampled_recovery():
+    """Stochastic-similarity FFD (the 64-tap point-gather loss) recovers a
+    known field within the dense test's point bound."""
+    moving = _brain_like(seed=2)
+    true_field = BSplineField.zeros(moving.shape, spacing=16.0)
+    rng = np.random.default_rng(3)
+    true_field.ctrl = rng.normal(0, 1.6, true_field.ctrl.shape).astype(
+        np.float32
+    )
+    disp = np.asarray(true_field.dense_field())
+    grid = np.asarray(fixed_grid(moving.shape))
+    fixed = np.asarray(
+        sample_volume(jnp.asarray(moving), jnp.asarray(grid + disp))
+    )
+
+    affine, _ = register_affine(
+        fixed, moving, levels=(2, 1), iters=(200, 100), n_samples=1024
+    )
+    field, _ = register_bspline(
+        fixed, moving, affine, spacing=16.0, iters=200, lr=0.25,
+        n_samples=1024,
+    )
+    pts = np.array([[20, 30, 20], [25, 25, 18], [30, 35, 22]], np.float32)
+    true_m = pts + np.asarray(true_field.at_points(pts))
+    est_m = warp_points(affine, field, pts)
+    err = np.abs(true_m - est_m).max()
+    assert err < 2.0, f"max point error {err}"
+
+
 def test_warp_points_affine_only():
     affine = np.array([[2.0, 0, 0, 1.0], [0, 0.5, 0, 0], [0, 0, 1.0, -3.0]], np.float32)
     pts = np.array([[1.0, 2.0, 3.0]], np.float32)
