@@ -20,15 +20,17 @@ Two modes are reported (VERDICT r1 item 2a):
 - **parity** (`parity_mode_value`): float32 / precision='highest', the
   bit-stability configuration the pipeline uses by default.
 
-Measured physics on TPU v5e (r2 profiling; see PERF.md): the model is
-32 channels wide, so its convolutions can use at most 32/128 of the MXU's
-output lanes — the hard per-conv ceiling is ~34 TFLOP/s (measured on
-VMEM-resident dots of the conv's exact shape). A full-volume pass with
-reference semantics (8× overlap redundancy) therefore cannot exceed
-~0.03-0.04 GVox/s on one chip regardless of kernel quality. The fast mode
-runs the custom channels-sublane Pallas conv kernel at 33.7 TFLOP/s (AT
-that ceiling; 2.1× XLA's emitter) and measures 0.0283 GVox/s — ~80% of
-the absolute bound.
+Measured physics on TPU v5e (r2/r3 profiling; see PERF.md): the model is
+32 channels wide (M=32 of the MXU's 128 rows per conv dot). Round 2
+measured a ~34 TFLOP/s per-conv ceiling at that width; round 3 diagnosed
+it as an M-row ceiling and broke it with multi-plane packing (P output
+z-planes share one (P·32)-row accumulator) — the production conv kernel
+now runs at 83.5 TFLOP/s real (vs 16.2 for XLA's emitter at P=1 shape).
+With reference semantics (8× overlap redundancy, halo-doubled windows)
+the full-volume pass measures 0.0365 GVox/s; the conv FLOPs alone at the
+kernel's measured rate bound the engine at ~0.05 on one chip, with the
+gap held by the deconv chain, pooling, epilogues and dispatch (trace
+table in PERF.md).
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 The denominator is a documented estimate of the reference's per-GPU
