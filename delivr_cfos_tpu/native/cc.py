@@ -13,7 +13,14 @@ def cc_label_native(binary: np.ndarray):
     lib = get_library()
     if lib is None:
         return None
-    vol = np.ascontiguousarray((binary > 0).astype(np.uint8))
+    if binary.dtype == np.uint8 and binary.flags["C_CONTIGUOUS"]:
+        # the C scan treats any nonzero byte as foreground, so an existing
+        # uint8 buffer needs no normalization copy (saves a full-volume
+        # allocation per brain — first-touch pages are expensive on
+        # snapshot-restored hosts)
+        vol = binary
+    else:
+        vol = np.ascontiguousarray((binary > 0).astype(np.uint8))
     out = np.empty(vol.shape, np.int32)
     z, y, x = vol.shape
     n = lib.cc_label_u8(
@@ -31,7 +38,10 @@ def cc_statistics_native(labels: np.ndarray, n: int):
     lib = get_library()
     if lib is None:
         return None
-    lab = np.ascontiguousarray(labels.astype(np.int32))
+    if labels.dtype == np.int32 and labels.flags["C_CONTIGUOUS"]:
+        lab = labels  # no copy: astype always copies, 4 B/voxel
+    else:
+        lab = np.ascontiguousarray(labels.astype(np.int32))
     z, y, x = lab.shape
     counts = np.zeros(n + 1, np.int64)
     csums = np.zeros((n + 1, 3), np.float64)

@@ -105,10 +105,6 @@ def main():
     # cold run (brainA): includes stage-2 compile (~20-40 s, amortized away
     # on terabyte production brains)
     timer_cold = run_pipeline(cfg)
-    # warm run: add brainB — stages skip the finished brainA, so these spans
-    # are one brain at steady state
-    make_brain("brainB", 1)
-    timer_warm = run_pipeline(cfg)
 
     def spans(t):
         return (
@@ -117,8 +113,18 @@ def main():
             t.spans.get("postprocessing", 0.0),
         )
 
+    # warm runs: one fresh brain per run (stages skip finished brains), so
+    # each span is one brain at steady state. Min-of-3 because this host
+    # serves first-touch pages with time-varying latency (5-130 ms/MB
+    # observed; snapshot-restore page backing) — a single warm run can be
+    # dominated by page-fault stalls that say nothing about the code.
+    warm = []
+    for i, name in enumerate(("brainB", "brainC", "brainD")):
+        make_brain(name, i + 1)
+        warm.append(spans(run_pipeline(cfg)))
+
     c1, c2, c3 = spans(timer_cold)
-    s1, s2, s3 = spans(timer_warm)
+    s1, s2, s3 = (min(w[k] for w in warm) for k in range(3))
     total = s1 + s2 + s3
     print(
         json.dumps(
