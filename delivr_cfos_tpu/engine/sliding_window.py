@@ -271,10 +271,16 @@ class _DensePlan:
         self.n_windows = N
 
 
+def _dense_applicable(roi, interval) -> bool:
+    """The phase decomposition applies when the stride divides the roi in
+    every dim (true for the reference's 0.5 overlap). Single source of
+    truth for both the whole-volume and the streaming-slab paths."""
+    return not any(interval[d] <= 0 or roi[d] % interval[d] for d in range(3))
+
+
 def _dense_plan_for(image_size, roi, interval):
-    """A _DensePlan when the decomposition applies (stride divides roi in
-    every dim — true for the reference's 0.5 overlap), else None."""
-    if any(interval[d] <= 0 or roi[d] % interval[d] for d in range(3)):
+    """A _DensePlan when the decomposition applies, else None."""
+    if not _dense_applicable(roi, interval):
         return None
     dims = [
         _dim_starts(image_size[d], roi[d], interval[d]) for d in range(3)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from delivr_cfos_tpu.engine.sliding_window import (
     SlidingWindowConfig,
     _DensePlan,
+    _dense_applicable,
     _divide,
     _importance_for,
     _infer_accumulate_pass,
@@ -40,6 +41,28 @@ from delivr_cfos_tpu.engine.sliding_window import (
 )
 from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
 from delivr_cfos_tpu.ops.morphology import binary_erosion_cross
+
+
+def resume_signature(cfg, volume_shape, out_shape, slab_z_starts: int) -> dict:
+    """The resume sidecar's config signature. Every config field that
+    changes finalized output bytes must be here, or a resume after a config
+    edit silently mixes semantics across z (e.g. gaussian-blended slabs
+    followed by uniform-averaged ones)."""
+    return {
+        "roi": list(cfg.roi),
+        "overlap": cfg.overlap,
+        "tta": cfg.tta,
+        "slab_z_starts": slab_z_starts,
+        "shape": list(volume_shape),
+        "out_shape": list(out_shape),
+        "importance": cfg.importance,
+        "importance_sigma_scale": cfg.importance_sigma_scale,
+        "threshold": cfg.threshold,
+        "erosion_iters": cfg.erosion_iters,
+        "background_threshold": cfg.background_threshold,
+        "tta_noise_std": cfg.tta_noise_std,
+        "seed": cfg.seed,
+    }
 
 
 def infer_volume_streaming(
@@ -126,14 +149,7 @@ def infer_volume_streaming(
     import json
     import os
 
-    state_sig = {
-        "roi": list(roi),
-        "overlap": cfg.overlap,
-        "tta": cfg.tta,
-        "slab_z_starts": slab_z_starts,
-        "shape": list(volume.shape),
-        "out_shape": list(out_shape),
-    }
+    state_sig = resume_signature(cfg, volume.shape, out_shape, slab_z_starts)
     start_slab = 0
     regen_only_slab = None  # slab recomputed only to regenerate the carry
     if resume_state_path:
@@ -214,9 +230,7 @@ def infer_volume_streaming(
             # stride-regular rows of the global grid, so _DensePlan applies
             # per slab exactly as it does per volume)
             plan = None
-            if cfg.dense_overlap_add and not any(
-                interval[d] <= 0 or roi[d] % interval[d] for d in range(3)
-            ):
+            if cfg.dense_overlap_add and _dense_applicable(roi, interval):
                 plan = _DensePlan(
                     [[z - slab_z0 for z in starts_z], list(ys), list(xs)],
                     roi,

@@ -39,18 +39,11 @@ from delivr_cfos_tpu.engine.sliding_window import (
     SKIP_LOGIT,
     SlidingWindowConfig,
     _dim_starts,
+    _divide,
     _tta_passes,
     scan_interval,
 )
 from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, basic_unet_apply
-
-
-def _divide_mean(acc, cnt):
-    """acc/cnt with the mode-appropriate floor (int count map vs gaussian
-    importance-weight sums — see engine.sliding_window._divide)."""
-    if jnp.issubdtype(cnt.dtype, jnp.floating):
-        return acc / jnp.maximum(cnt, 1e-8)
-    return acc / jnp.maximum(cnt, 1).astype(jnp.float32)
 
 
 def _pvary(x, axis_name):
@@ -418,9 +411,9 @@ def sharded_infer_volume(
         acc, cnt = sharded_accumulate(
             mesh, params, vol_t, cfg_t, model_cfg, mesh_axis, win_perm=perm
         )
-        mean_t = _divide_mean(acc, cnt)
+        mean_t = _divide(acc, cnt)
         return jnp.transpose(mean_t, inv)
     acc, cnt = sharded_accumulate(
         mesh, params, volume, cfg, model_cfg, mesh_axis
     )
-    return _divide_mean(acc, cnt)
+    return _divide(acc, cnt)

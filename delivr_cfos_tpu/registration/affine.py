@@ -276,12 +276,20 @@ def register_affine(
         f_l = _pyramid(fixed, level)
         m_l = _pyramid(moving, level)
         # sampling only pays where the grid is big; small pyramid levels
-        # keep dense gradients. The 64× bar is deliberate: coarse levels
-        # are cheap in absolute terms AND do the orientation-critical work
-        # (the multistart flip race runs there) — sampled-MI noise there
-        # picked a wrong flip at Allen scale, while sampling only the
-        # expensive fine levels kept recovery acceptance-equal (PERF.md r4)
-        ns = n_samples if (n_samples and f_l.size > 64 * n_samples) else 0
+        # keep dense gradients. Two guards, both deliberate: (a) the 64×
+        # size bar — sampling a small grid saves nothing; (b) the COARSEST
+        # level of any schedule is always dense regardless of volume size,
+        # because it does the orientation-critical work (the multistart
+        # flip race scores there) — sampled-MI noise at that level picked a
+        # wrong flip at Allen scale, and a size-relative bar alone would
+        # re-enter that regime on brains bigger than the measured 9.6 MVox
+        # (PERF.md r4). Sampling only the expensive fine levels kept
+        # recovery acceptance-equal.
+        ns = (
+            n_samples
+            if (n_samples and li > 0 and f_l.size > 64 * n_samples)
+            else 0
+        )
         # move translation into level coords
         aff_l = affine.at[:, 3].set(affine[:, 3] / level)
         opt_state = optax.adam(lr).init(aff_l)

@@ -267,7 +267,9 @@ def register_bspline(
     affine = np.asarray(affine, np.float32)
     ctrl = jnp.asarray(field.ctrl)  # full-resolution voxel units throughout
     last_loss = 0.0
-    for level, level_iters, level_lr in zip(levels, iters_t, lrs_t):
+    for li, (level, level_iters, level_lr) in enumerate(
+        zip(levels, iters_t, lrs_t)
+    ):
         level = int(level)
         if level == 1:
             fixed_l, moving_l = fixed, moving
@@ -294,8 +296,11 @@ def register_bspline(
         chunk = scan_chunk_for(ns if ns else fixed_j.size, _FFD_SCAN_CHUNK)
         while done < level_iters:
             n = min(chunk, level_iters - done)
+            # fold in the level INDEX (not value): repeated factors in a
+            # levels schedule must draw fresh sample coordinates, and this
+            # matches register_affine's per-level stream derivation
             seg_key = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(seed), level), done
+                jax.random.fold_in(jax.random.PRNGKey(seed), li), done
             )
             ctrl_l, opt_state, losses = _optimize_ffd(
                 fixed_j,

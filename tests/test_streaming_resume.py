@@ -7,7 +7,10 @@ import pytest
 import jax
 
 from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig
-from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
+from delivr_cfos_tpu.engine.streaming import (
+    infer_volume_streaming,
+    resume_signature,
+)
 from delivr_cfos_tpu.models import BasicUNetConfig, init_params
 
 TINY = (4, 4, 8, 16, 32, 4)
@@ -53,14 +56,7 @@ def test_resume_produces_identical_output(params, tmp_path):
     # as the engine would have left it, and corrupt everything not yet
     # "finalized" (slab starts 0,8 | 16,24 | 32,...)
     st = {
-        "sig": {
-            "roi": list(ROI),
-            "overlap": cfg.overlap,
-            "tta": cfg.tta,
-            "slab_z_starts": 2,
-            "shape": list(vol.shape),
-            "out_shape": list(vol.shape),
-        },
+        "sig": resume_signature(cfg, vol.shape, vol.shape, 2),
         "next_slab": 2,
         "finalized": 32,
     }
@@ -122,14 +118,7 @@ def test_resume_bit_identical_with_tta_noise(params, tmp_path):
     # simulate an interruption after slab 1 (finalized through z=32)
     state = str(tmp_path / "resume_tta.json")
     st = {
-        "sig": {
-            "roi": list(ROI),
-            "overlap": cfg.overlap,
-            "tta": cfg.tta,
-            "slab_z_starts": 2,
-            "shape": list(vol.shape),
-            "out_shape": list(vol.shape),
-        },
+        "sig": resume_signature(cfg, vol.shape, vol.shape, 2),
         "next_slab": 2,
         "finalized": 32,
     }
@@ -151,3 +140,51 @@ def test_resume_bit_identical_with_tta_noise(params, tmp_path):
     )
     np.testing.assert_array_equal(log_res, log_full)
     np.testing.assert_array_equal(bin_res, bin_full)
+
+
+def test_resume_refuses_importance_change(params, tmp_path):
+    """A sidecar written under importance='constant' must NOT let a
+    gaussian-blend run resume from it: finalized slabs would be
+    uniform-averaged while the rest are gaussian-blended — one volume,
+    two semantics. The signature includes every output-affecting config
+    field, so the mismatched resume restarts from scratch."""
+    rng = np.random.default_rng(7)
+    vol = np.zeros((72, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((72, 16, 32)) * 800).astype(np.uint16)
+    cfg_const = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4)
+    cfg_gauss = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, importance="gaussian"
+    )
+
+    # fresh gaussian run = ground truth for what the resumed run must equal
+    log_ref = np.empty(vol.shape, np.float32)
+    bin_ref, _ = infer_volume_streaming(
+        params, vol, cfg_gauss, MODEL_CFG, slab_z_starts=2, logits_out=log_ref
+    )
+
+    # sidecar claims slabs 0-1 finalized under the CONSTANT config
+    state = str(tmp_path / "resume_imp.json")
+    st = {
+        "sig": resume_signature(cfg_const, vol.shape, vol.shape, 2),
+        "next_slab": 2,
+        "finalized": 32,
+    }
+    with open(state, "w") as f:
+        json.dump(st, f)
+    # stale constant-mode bytes in the "finalized" region
+    log_res = np.full(vol.shape, -123.0, np.float32)
+    bin_res = np.full(vol.shape, 255, np.uint8)
+    infer_volume_streaming(
+        params,
+        vol,
+        cfg_gauss,
+        MODEL_CFG,
+        slab_z_starts=2,
+        binary_out=bin_res,
+        logits_out=log_res,
+        resume_state_path=state,
+    )
+    # full restart: every z-plane (incl. the claimed-finalized head) is
+    # gaussian-blended
+    np.testing.assert_allclose(log_res, log_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(bin_res, bin_ref)
