@@ -264,6 +264,10 @@ def main():
 
     fast = _run_child("default", "fast", timeout=1500)
     if fast is None:
+        # a wedged TPU grant usually clears within ~30-45 min server-side;
+        # one retry (another 25 min window) beats reporting a CPU fallback
+        fast = _run_child("default", "fast", timeout=1500)
+    if fast is None:
         fast = _run_child("cpu", "fast", timeout=1500)
     if fast is None:
         print(
