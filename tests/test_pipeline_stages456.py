@@ -241,3 +241,33 @@ def test_stage6_outputs(full_run):
         vals |= set(np.unique(read_tiff(os.path.join(rid_dir, f))))
     assert vals <= {0, 1, 2}  # graph_order grayvalues
     assert len(vals) > 1
+
+
+def test_create_heatmap_inplace_filter_bit_exact():
+    """The in-place gaussian_filter(output=input) in create_heatmap must be
+    bit-identical to the out-of-place filter (stage05_region_assignment.py:140
+    trades a fresh 308 MB buffer for in-place filtering on the CCF grid)."""
+    from scipy.ndimage import gaussian_filter
+
+    from delivr_cfos_tpu.pipeline.stage05_region_assignment import create_heatmap
+
+    rng = np.random.default_rng(7)
+    shape = (23, 31, 17)
+    n = 40
+    cells = pd.DataFrame(
+        {
+            "z": rng.integers(0, shape[0], n),
+            "y": rng.integers(0, shape[1], n),
+            "x": rng.integers(0, shape[2], n),
+        }
+    )
+    expected = np.zeros(shape, np.float32)
+    np.add.at(
+        expected,
+        (cells["z"].to_numpy(int), cells["y"].to_numpy(int), cells["x"].to_numpy(int)),
+        1.0,
+    )
+    expected = gaussian_filter(expected, sigma=2.25)  # out-of-place reference
+    got = create_heatmap(cells, shape)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, expected)
