@@ -96,3 +96,45 @@ def test_napari_loader_layers(tmp_path):
     assert all(kw["blending"] == "additive" for _, kw in v.layers)
     assert all(kw["scale"] == [3.0, 4.75, 4.75] for _, kw in v.layers)
     assert v.scale_bar.visible and v.scale_bar.length == 1000.0
+
+
+REAL_ONTOLOGY = "/root/reference/models/AllenMouseCCFv3_ontology_22Feb2021.xml"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_ONTOLOGY), reason="reference asset absent")
+def test_parse_real_allen_ontology_asset():
+    """Parse the actual shipped Allen CCFv3 ontology (1327 structures) —
+    the asset every real deployment feeds to stage 5
+    (reference: cells_to_atlas.py:26-90, models/ dir)."""
+    from delivr_cfos_tpu.analysis.ontology import parse_ontology_xml
+
+    df = parse_ontology_xml(REAL_ONTOLOGY)
+    assert len(df) == 1328  # synthetic background row + 1327 structures
+
+    # row 0: background sentinel; row 1: root in document order
+    assert df.iloc[0]["acronym"] == "bgr"
+    root = df.iloc[1]
+    assert root["id"] == 997
+    assert root["acronym"] == "root"  # double quotes stripped
+    assert root["parent_acronym"] == '"root"'  # reference quirk kept verbatim
+    assert root["graph_order"] == 0
+
+    # document order IS graph_order order for the Allen ontology — the
+    # annotation volume indexes rows by iloc[graph_order + 1]
+    orders = df["graph_order"].to_numpy()[1:]
+    assert (orders == np.arange(1327)).all()
+
+    # the two id remaps fire on the real file (only the remapped ids exist
+    # in the annotation volume)
+    ids = set(df["id"].tolist())
+    assert 312782560 in ids and 614454272 in ids
+    assert 312782566 not in ids and 614454277 not in ids
+
+    # every color triplet parsed to valid RGB
+    for ch in ("red", "green", "blue"):
+        v = df[ch].to_numpy()[1:]
+        assert v.min() >= 0 and v.max() <= 255
+    # spot-check a well-known structure: Isocortex is green 70FF71
+    iso = df[df["acronym"] == "Isocortex"].iloc[0]
+    assert iso["color-hex-triplet"] == "70FF71"
+    assert (iso["red"], iso["green"], iso["blue"]) == (0x70, 0xFF, 0x71)
