@@ -149,3 +149,33 @@ def test_round4_extension_keys_parse():
     cfg = PipelineConfig.from_dict(raw)
     assert cfg.blob_detection.importance == "gaussian"
     assert cfg.blob_detection.erosion_iters == 5
+
+
+def test_real_reference_config_parses():
+    """The reference repo's shipped config.json loads verbatim — the exact
+    artifact a migrating user hands to this CLI (reference: config.json)."""
+    import os
+
+    path = "/root/reference/config.json"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference asset absent")
+    cfg = PipelineConfig.from_json(path)
+    wd = cfg.blob_detection.window_dimensions
+    assert (wd.window_dim_0, wd.window_dim_1, wd.window_dim_2) == (96, 96, 64)
+    ds = cfg.mask_detection.downsample_steps
+    assert ds.original_um_x == 1.62 and ds.downsample_um_z == 25.0
+    assert cfg.mask_detection.mask_with_Ilastik is True
+    assert cfg.postprocessing.min_size == -1 and cfg.postprocessing.max_size == -1
+    assert cfg.FLAGS.TEST_TIME_AUGMENTATION is True
+    assert cfg.atlas_alignment.landmarks_hemisphere is False
+    # ./models/... paths survive as given (resolved at point of use)
+    assert cfg.region_assignment.CCF3_ontology.endswith(
+        "AllenMouseCCFv3_ontology_22Feb2021.xml"
+    )
+    # framework extension keys default sanely on an untouched reference config
+    assert cfg.blob_detection.precision == "auto"
+    assert cfg.blob_detection.spatial_shards in (0, 1, None) or isinstance(
+        cfg.blob_detection.spatial_shards, int
+    )
