@@ -112,6 +112,16 @@ def _label_device_impl(binary: jnp.ndarray):
 
 def label_volume_device(binary) -> tuple:
     """XLA propagation labeling; returns (labels int32 canonical 1..N, n)."""
+    if int(np.prod(np.shape(binary))) + 1 >= 2**31:
+        # labels ARE int32 linear voxel indices; a >=2^31-voxel volume
+        # (possible in 16 GB HBM at uint8+int32 ≈ 10.7 GB) would overflow
+        # silently — route such volumes to the sharded or out-of-core
+        # labelers, which decompose below this bound
+        raise ValueError(
+            f"volume has {int(np.prod(np.shape(binary)))} voxels, exceeding "
+            "the int32 label space of the device labeler; use "
+            "parallel/sharded_cc.py or label_out_of_core"
+        )
     raw = np.asarray(_label_device_impl(jnp.asarray(binary)))
     return _canonicalize_raw_labels(raw)
 

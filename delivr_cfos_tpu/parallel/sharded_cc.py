@@ -100,6 +100,14 @@ def label_volume_sharded(
     n_sp = mesh.shape[mesh_axis]
     z, y, x = binary.shape
     z_pad = -(-z // n_sp) * n_sp
+    if z_pad * y * x + 1 >= 2**31:
+        # labels are GLOBAL int32 linear voxel indices (base = rank*n_local);
+        # past 2^31 total voxels they overflow silently. Volumes that large
+        # must go through the out-of-core two-pass labeler slab-wise.
+        raise ValueError(
+            f"padded volume has {z_pad * y * x} voxels, exceeding the int32 "
+            "global label space of the sharded labeler; use label_out_of_core"
+        )
     vol = binary
     if z_pad > z:
         vol = np.concatenate(

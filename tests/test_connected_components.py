@@ -154,3 +154,13 @@ def test_sharded_cc_empty_and_full():
     full = np.ones((17, 8, 8), np.uint8)
     labels, n = label_volume_sharded(mesh, full)
     assert n == 1 and (labels == 1).all()
+
+
+def test_device_labeler_rejects_int32_overflow_volumes():
+    """Device labels are int32 linear voxel indices; a >=2^31-voxel volume
+    must be rejected loudly, before any device transfer."""
+    from delivr_cfos_tpu.ops.connected_components import label_volume_device
+
+    huge = np.broadcast_to(np.zeros((1, 1, 1), np.uint8), (2048, 1024, 1024))
+    with pytest.raises(ValueError, match="int32 label space"):
+        label_volume_device(huge)

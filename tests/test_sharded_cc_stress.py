@@ -103,3 +103,12 @@ def test_randomized_equivalence_256_planes_vs_out_of_core(tmp_path):
     np.testing.assert_allclose(
         stats["centroids"][1:], ooc_stats["centroids"][1:], atol=1e-6
     )
+
+
+def test_sharded_labeler_rejects_int32_overflow_volumes():
+    """Global labels are int32 linear voxel indices; a >=2^31-voxel volume
+    must be rejected loudly, before any device transfer (sharded_cc.py)."""
+    mesh = make_mesh({"sp": 8})
+    huge = np.broadcast_to(np.zeros((1, 1, 1), np.uint8), (2048, 1024, 1024))
+    with pytest.raises(ValueError, match="int32 global label space"):
+        label_volume_sharded(mesh, huge)
