@@ -13,7 +13,7 @@ pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_rel
 pip install numpy scipy pandas optax
 pip install .
 
-# build the native connected-components library (g++ required)
+# build the native library (C++ connected components + TIFF codecs; g++ required)
 python -c "from delivr_cfos_tpu.native.build import get_library; print(get_library())"
 
 echo "DELiVR-TPU installed. Run: python -m delivr_cfos_tpu /path/to/config.json"
