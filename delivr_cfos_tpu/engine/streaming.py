@@ -35,7 +35,6 @@ from delivr_cfos_tpu.engine.sliding_window import (
     _to_batched,
     _tta_passes,
     _window_maxes,
-    dense_patch_starts,
     scan_interval,
     _dim_starts,
 )

@@ -26,7 +26,6 @@ downstream CSV contract deterministic.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

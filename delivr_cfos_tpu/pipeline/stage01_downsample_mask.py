@@ -39,7 +39,6 @@ Reference quirks reproduced for bit-compatibility:
 from __future__ import annotations
 
 import os
-import shutil
 
 import jax.numpy as jnp
 import numpy as np
@@ -48,7 +47,6 @@ from delivr_cfos_tpu.config import PipelineConfig
 from delivr_cfos_tpu.models.pixel_classifier import predict_mask_probabilities
 from delivr_cfos_tpu.ops.resample import (
     block_mean_downsample,
-    contrast_stretch_8bit,
     zoom_mask_to,
 )
 from delivr_cfos_tpu.pipeline.common import get_real_size, list_raw_tiffs

@@ -39,7 +39,6 @@ import pandas as pd
 from delivr_cfos_tpu.config import PipelineConfig
 from delivr_cfos_tpu.registration.affine import register_affine
 from delivr_cfos_tpu.registration.bspline import (
-    BSplineField,
     register_bspline,
     warp_points,
 )

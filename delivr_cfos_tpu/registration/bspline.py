@@ -27,7 +27,6 @@ import optax
 
 from delivr_cfos_tpu.ops.resample import block_mean_downsample
 from delivr_cfos_tpu.registration.affine import (
-    masked_ncc,
     sample_coords,
     similarity_fn,
 )

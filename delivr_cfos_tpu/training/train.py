@@ -12,7 +12,6 @@ loadable by the inference pipeline (models/convert.py .npz format).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
