@@ -60,10 +60,8 @@ import numpy as np
 
 platform = sys.argv[1]
 mode = sys.argv[2]
-import os
-if platform != "default":
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize would force axon
-    os.environ["JAX_PLATFORMS"] = platform
+# platform selection happens in the PARENT's env (see _run_child): this
+# image's sitecustomize registers the TPU plugin before this code runs
 import jax
 import jax.numpy as jnp
 
@@ -129,10 +127,7 @@ import json, sys, time
 import numpy as np
 
 platform = sys.argv[1]
-import os
-if platform != "default":
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    os.environ["JAX_PLATFORMS"] = platform
+# platform selection happens in the PARENT's env (see _run_child)
 import jax
 import jax.numpy as jnp
 

@@ -42,12 +42,25 @@ from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
 from delivr_cfos_tpu.ops.morphology import binary_erosion_cross
 
 
-def resume_signature(cfg, volume_shape, out_shape, slab_z_starts: int) -> dict:
+def resume_signature(
+    cfg, volume_shape, out_shape, slab_z_starts: int, batch: int
+) -> dict:
     """The resume sidecar's config signature. Every config field that
     changes finalized output bytes must be here, or a resume after a config
     edit silently mixes semantics across z (e.g. gaussian-blended slabs
-    followed by uniform-averaged ones)."""
+    followed by uniform-averaged ones).
+
+    ``batch`` is the RESOLVED window batch (``cfg.batch_size`` or the
+    auto_batch_size result), not the config field: with TTA noise on, the
+    dense path derives noise keys per forward chunk, and the chunk partition
+    depends on the batch — so two hosts whose auto-sizing differs draw
+    different noise and must not share a resume seam. ``dense_overlap_add``
+    is included because the dense and loop paths sum the same f32 addends in
+    different orders (last-ulp logit differences can flip threshold-straddling
+    voxels across the seam)."""
     return {
+        "dense_overlap_add": cfg.dense_overlap_add,
+        "batch": batch,
         "roi": list(cfg.roi),
         "overlap": cfg.overlap,
         "tta": cfg.tta,
@@ -148,7 +161,9 @@ def infer_volume_streaming(
     import json
     import os
 
-    state_sig = resume_signature(cfg, volume.shape, out_shape, slab_z_starts)
+    state_sig = resume_signature(
+        cfg, volume.shape, out_shape, slab_z_starts, batch
+    )
     start_slab = 0
     regen_only_slab = None  # slab recomputed only to regenerate the carry
     if resume_state_path:

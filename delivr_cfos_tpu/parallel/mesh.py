@@ -39,10 +39,7 @@ def maybe_initialize_distributed(env: dict | None = None) -> bool:
     flag = e.get("DELIVR_DISTRIBUTED", "").strip()
     if flag == "0":
         return False
-    already = getattr(
-        getattr(jax.distributed, "global_state", None), "client", None
-    )
-    if already is not None:
+    if jax.distributed.is_initialized():
         return False
 
     kwargs = {}

@@ -56,7 +56,7 @@ def test_resume_produces_identical_output(params, tmp_path):
     # as the engine would have left it, and corrupt everything not yet
     # "finalized" (slab starts 0,8 | 16,24 | 32,...)
     st = {
-        "sig": resume_signature(cfg, vol.shape, vol.shape, 2),
+        "sig": resume_signature(cfg, vol.shape, vol.shape, 2, batch=4),
         "next_slab": 2,
         "finalized": 32,
     }
@@ -118,7 +118,7 @@ def test_resume_bit_identical_with_tta_noise(params, tmp_path):
     # simulate an interruption after slab 1 (finalized through z=32)
     state = str(tmp_path / "resume_tta.json")
     st = {
-        "sig": resume_signature(cfg, vol.shape, vol.shape, 2),
+        "sig": resume_signature(cfg, vol.shape, vol.shape, 2, batch=4),
         "next_slab": 2,
         "finalized": 32,
     }
@@ -165,7 +165,7 @@ def test_resume_refuses_importance_change(params, tmp_path):
     # sidecar claims slabs 0-1 finalized under the CONSTANT config
     state = str(tmp_path / "resume_imp.json")
     st = {
-        "sig": resume_signature(cfg_const, vol.shape, vol.shape, 2),
+        "sig": resume_signature(cfg_const, vol.shape, vol.shape, 2, batch=4),
         "next_slab": 2,
         "finalized": 32,
     }
@@ -188,3 +188,17 @@ def test_resume_refuses_importance_change(params, tmp_path):
     # gaussian-blended
     np.testing.assert_allclose(log_res, log_ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(bin_res, bin_ref)
+
+
+def test_signature_covers_dense_toggle_and_batch():
+    """dense_overlap_add changes f32 addend order and the resolved batch
+    changes the dense path's TTA noise chunking — both must invalidate a
+    sidecar, or a resume mixes semantics across the seam."""
+    cfg_dense = SlidingWindowConfig(roi=ROI, overlap=0.5, batch_size=4)
+    cfg_loop = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, dense_overlap_add=False
+    )
+    shape = (72, 32, 32)
+    sig = resume_signature(cfg_dense, shape, shape, 2, batch=4)
+    assert sig != resume_signature(cfg_loop, shape, shape, 2, batch=4)
+    assert sig != resume_signature(cfg_dense, shape, shape, 2, batch=8)
