@@ -60,6 +60,12 @@ class MaskDetectionConfig:
     downsample_steps: DownsampleSteps = field(default_factory=DownsampleSteps)
     mask_with_Ilastik: bool = True
     simple_threshold_value: int = 250
+    # framework extension — host ingest parallelism for stage 1 (TIFF
+    # decode-ahead of the device downsample; thread-pooled per-plane
+    # masking writes). 0 = one worker per host core (capped at 16). The
+    # decoders and deflate writers release the GIL, so this scales on the
+    # multi-core hosts real TPU VMs have.
+    ingest_threads: int = 0
 
 
 @dataclass(frozen=True)

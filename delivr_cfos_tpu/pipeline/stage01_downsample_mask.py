@@ -69,17 +69,51 @@ def _pad_under_250(stack: np.ndarray) -> np.ndarray:
     return out
 
 
-def _downsample_stack(raw_tiffs: list, ratios_zyx: tuple) -> np.ndarray:
+def _ingest_workers(threads: int) -> int:
+    """0 = auto: one worker per host core, capped (the decode threads share
+    the cores with the native strip-decoder's own fan-out)."""
+    return threads if threads > 0 else min(16, os.cpu_count() or 1)
+
+
+def _downsample_stack(
+    raw_tiffs: list, ratios_zyx: tuple, threads: int = 0
+) -> np.ndarray:
     """Chunked device block-mean downsample, reproducing the reference's
-    chunk enumeration (``zip(z_series, z_series[1:])``)."""
+    chunk enumeration (``zip(z_series, z_series[1:])``).
+
+    Host TIFF decode is pipelined ahead of the device work: a bounded pool
+    decodes upcoming z-chunks while the device block-means the current one
+    (the reference burns an mp.Pool on the downsample arithmetic instead,
+    downsample_and_mask.py:184-192 — here the arithmetic is one XLA
+    reduce_window and the decode is what's left on the host)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
     zr, yr, xr = ratios_zyx
     n = len(raw_tiffs)
     z_series = np.arange(0, n, zr)
+    bounds = list(zip(z_series, z_series[1:]))
+
+    def decode(b):
+        z0, z1 = b
+        return np.stack([read_tiff(p) for p in raw_tiffs[z0:z1]], axis=0)
+
+    w = _ingest_workers(threads)
     planes = []
-    for z0, z1 in zip(z_series, z_series[1:]):
-        chunk = np.stack([read_tiff(p) for p in raw_tiffs[z0:z1]], axis=0)
-        down = block_mean_downsample(jnp.asarray(chunk), (zr, yr, xr))
-        planes.append(np.asarray(down).astype(np.uint16))
+    with ThreadPoolExecutor(max_workers=w) as ex:
+        futs = deque()
+        idx = 0
+        # in-flight decodes bounded at w+1 chunks of host memory
+        while idx < min(w + 1, len(bounds)):
+            futs.append(ex.submit(decode, bounds[idx]))
+            idx += 1
+        while futs:
+            chunk = futs.popleft().result()
+            if idx < len(bounds):
+                futs.append(ex.submit(decode, bounds[idx]))
+                idx += 1
+            down = block_mean_downsample(jnp.asarray(chunk), (zr, yr, xr))
+            planes.append(np.asarray(down).astype(np.uint16))
     return np.concatenate(planes, axis=0)
 
 
@@ -106,7 +140,7 @@ def downsample_mask(cfg: PipelineConfig, brain: str) -> None:
     os.makedirs(results_folder, exist_ok=True)
 
     log("Downsampling", brain, "ratios", ratios)
-    downsampled_stack = _downsample_stack(raw_tiffs, ratios)
+    downsampled_stack = _downsample_stack(raw_tiffs, ratios, md.ingest_threads)
     write_tiff_stack(
         os.path.join(results_folder, "stack_resampled.tif"),
         downsampled_stack,
@@ -203,7 +237,14 @@ def downsample_mask(cfg: PipelineConfig, brain: str) -> None:
     )
 
     threshold = int(md.simple_threshold_value)
-    for i, path in enumerate(raw_tiffs):
+
+    def _mask_plane(args):
+        """Per-plane: decode, mask, write memmap row + masked tiff. Planes
+        are independent (distinct memmap rows, distinct files); the decode
+        (native, GIL-released) and deflate write (zlib, GIL-released) scale
+        across host cores — the slab-parallel ingest the reference's
+        single-threaded masking loop lacks (downsample_and_mask.py:384-417)."""
+        i, path = args
         img = read_tiff(path).astype(np.uint16)
         if md.mask_with_Ilastik:
             img = img * mask_us[i]
@@ -215,6 +256,12 @@ def downsample_mask(cfg: PipelineConfig, brain: str) -> None:
             img,
             compress=True,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=_ingest_workers(md.ingest_threads)) as ex:
+        # list() drains the iterator so worker exceptions surface here
+        list(ex.map(_mask_plane, enumerate(raw_tiffs)))
     masked_nii.flush()
     del masked_nii
     log("Masking done", brain)

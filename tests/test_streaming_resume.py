@@ -202,3 +202,99 @@ def test_signature_covers_dense_toggle_and_batch():
     sig = resume_signature(cfg_dense, shape, shape, 2, batch=4)
     assert sig != resume_signature(cfg_loop, shape, shape, 2, batch=4)
     assert sig != resume_signature(cfg_dense, shape, shape, 2, batch=8)
+
+
+def test_prefetch_bit_identical(params):
+    """The double-buffered slab loader only moves WHERE the slab slice and
+    upload happen; outputs must be bit-identical with prefetch off."""
+    rng = np.random.default_rng(9)
+    vol = np.zeros((72, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((72, 16, 32)) * 800).astype(np.uint16)
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, tta=True, tta_noise_std=0.2
+    )
+    log_a = np.empty(vol.shape, np.float32)
+    bin_a, _ = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2, logits_out=log_a,
+        prefetch=True,
+    )
+    log_b = np.empty(vol.shape, np.float32)
+    bin_b, _ = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=2, logits_out=log_b,
+        prefetch=False,
+    )
+    np.testing.assert_array_equal(log_a, log_b)
+    np.testing.assert_array_equal(bin_a, bin_b)
+
+
+def test_resume_rebuilds_erosion_carry_from_host(params, tmp_path):
+    """Resume corner: the regenerated slab has no erosion-carry chain, and a
+    clamped next start can make the next slab's context reach below the
+    regenerated slab's first plane (lo < slab_z0). Those planes must come
+    from the host volume — same bytes, bit-identical output. Grid: z=42,
+    roi_z=16, stride 8 → starts [0,8,16,24,26]; slab_z_starts=1, resume at
+    next_slab=4 regenerates slab 3 (z0=24, next 26); E=8 needs planes from
+    z=18 — below 24."""
+    rng = np.random.default_rng(13)
+    vol = np.zeros((42, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((42, 16, 32)) * 800 + 10).astype(np.uint16)
+    vol[20:23, :, :] = 0  # zero band inside the carry-reach region
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, erosion_iters=8
+    )
+    log_full = np.empty(vol.shape, np.float32)
+    bin_full, _ = infer_volume_streaming(
+        params, vol, cfg, MODEL_CFG, slab_z_starts=1, logits_out=log_full
+    )
+
+    state = str(tmp_path / "resume_ero.json")
+    st = {
+        "sig": resume_signature(cfg, vol.shape, vol.shape, 1, batch=4),
+        "next_slab": 4,
+        "finalized": 26,
+    }
+    with open(state, "w") as f:
+        json.dump(st, f)
+    log_res = log_full.copy()
+    bin_res = bin_full.copy()
+    log_res[26:] = -1
+    bin_res[26:] = 255
+    infer_volume_streaming(
+        params,
+        vol,
+        cfg,
+        MODEL_CFG,
+        slab_z_starts=1,
+        binary_out=bin_res,
+        logits_out=log_res,
+        resume_state_path=state,
+    )
+    np.testing.assert_array_equal(log_res, log_full)
+    np.testing.assert_array_equal(bin_res, bin_full)
+
+
+def test_device_erosion_context_matches_whole_volume(params):
+    """When erosion_iters fits the slab margin (E <= roi_z - stride_z), the
+    finalize erosion context comes from device-resident slab planes + a
+    chained carry instead of re-uploading host slices; the binary output
+    must equal the whole-volume oracle bit-for-bit (zeros in the volume make
+    the erosion re-mask non-trivial)."""
+    from delivr_cfos_tpu.engine.sliding_window import infer_volume
+
+    rng = np.random.default_rng(11)
+    vol = np.zeros((72, 32, 32), np.uint16)
+    vol[:, :16] = (rng.random((72, 16, 32)) * 800 + 10).astype(np.uint16)
+    vol[30:40, :, :] = 0  # interior zero band: erosion bites at chunk seams
+    cfg = SlidingWindowConfig(
+        roi=ROI, overlap=0.5, batch_size=4, erosion_iters=4
+    )
+    _, bins = infer_volume(params, vol, cfg, MODEL_CFG)
+    bins = np.asarray(bins)
+
+    for prefetch in (True, False):
+        out = np.zeros(vol.shape, np.uint8)
+        infer_volume_streaming(
+            params, vol, cfg, MODEL_CFG, slab_z_starts=2,
+            binary_out=out, prefetch=prefetch,
+        )
+        np.testing.assert_array_equal(out, bins)
