@@ -126,6 +126,13 @@ class PostprocessingConfig:
     output_location: str = ""
     min_size: int = -1
     max_size: int = -1
+    # framework extension — stage-3 connected-components slab parallelism.
+    # 0 = one worker per host core (capped at 8); 1 = serial. The reference's
+    # cc3d pass is single-threaded C++ (count_blobs.py:59-64); here each
+    # z-slab's native union-find sweep is an independent GIL-releasing call,
+    # bit-identical to the serial labeling at any worker count. Values > 1
+    # additionally route the in-RAM path through the slab-parallel labeler.
+    cc_workers: int = 0
 
 
 @dataclass(frozen=True)

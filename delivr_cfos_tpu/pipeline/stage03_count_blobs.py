@@ -80,7 +80,8 @@ def count_blobs(
     cached = _load_cached_labels(path_out, brain)
     if cached is None:
         log("Labeling connected components", brain)
-        if load_all_ram:
+        cc_workers = cfg.postprocessing.cc_workers
+        if load_all_ram and cc_workers <= 1:
             # in-RAM path (reference default: cc3d without out_file,
             # count_blobs.py:59-62)
             vol = np.asarray(bin_img)
@@ -90,6 +91,15 @@ def count_blobs(
             else:
                 labels, n = label_volume_host(vol)
             np.save(os.path.join(path_out, f"{brain}-{n}-cc3d.npy"), labels)
+        elif load_all_ram:
+            # in-RAM + cc_workers>1: slab-parallel labeling into an in-RAM
+            # label array — bit-identical to the whole-volume engines
+            # (canonical first-raster order), but the per-slab native sweeps
+            # fan out across host cores
+            vol = np.asarray(bin_img)
+            labels = np.empty(vol.shape, np.int32)
+            n, stats = label_out_of_core(vol, labels, workers=cc_workers)
+            np.save(os.path.join(path_out, f"{brain}-{n}-cc3d.npy"), labels)
         else:
             # out-of-core path (reference: cc3d out_file= disk labeling for
             # RAM < 2× dataset, count_blobs.py:63-64): slab-streamed labeling
@@ -97,7 +107,7 @@ def count_blobs(
             # label into a temp name and rename into the cache contract
             tmp_path = os.path.join(path_out, f"{brain}-inprogress-cc3d.npy")
             labels_mm = open_memmap(tmp_path, shape=bin_img.shape, dtype=np.int32)
-            n, stats = label_out_of_core(bin_img, labels_mm)
+            n, stats = label_out_of_core(bin_img, labels_mm, workers=cc_workers)
             labels_mm.flush()
             del labels_mm
             final_path = os.path.join(path_out, f"{brain}-{n}-cc3d.npy")

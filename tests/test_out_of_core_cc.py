@@ -53,6 +53,40 @@ def test_label_out_of_core_matches_host(slab_planes):
     )
 
 
+def test_label_out_of_core_parallel_bit_identical():
+    """workers>1 fans the per-slab labeling over a thread pool; base
+    assignment / face unions / stats merging stay ordered on the caller's
+    thread, so labels AND stats must be bit-identical to the serial path."""
+    vol = _blobby_volume(shape=(90, 40, 40), n_seeds=120, seed=8)
+    ser = np.zeros(vol.shape, np.int32)
+    n_ser, st_ser = label_out_of_core(vol, ser, slab_planes=7, workers=1)
+    par = np.zeros(vol.shape, np.int32)
+    n_par, st_par = label_out_of_core(vol, par, slab_planes=7, workers=4)
+    assert n_par == n_ser
+    np.testing.assert_array_equal(par, ser)
+    np.testing.assert_array_equal(
+        st_par["voxel_counts"], st_ser["voxel_counts"]
+    )
+    np.testing.assert_array_equal(st_par["centroids"], st_ser["centroids"])
+    np.testing.assert_array_equal(
+        st_par["bounding_boxes"], st_ser["bounding_boxes"]
+    )
+
+
+def test_label_out_of_core_worker_error_propagates():
+    """A label_fn failure on a worker thread must surface on the caller."""
+
+    def boom(vol):
+        raise RuntimeError("label_fn failed")
+
+    vol = _blobby_volume(shape=(40, 24, 24), seed=9)
+    with pytest.raises(RuntimeError, match="label_fn failed"):
+        label_out_of_core(
+            vol, np.zeros(vol.shape, np.int32), slab_planes=8,
+            label_fn=boom, workers=3,
+        )
+
+
 def test_label_out_of_core_empty_volume():
     vol = np.zeros((20, 10, 10), np.uint8)
     labels_out = np.zeros(vol.shape, np.int32)
@@ -77,7 +111,7 @@ def test_stage03_out_of_core_matches_in_ram(tmp_path):
 
     vol = _blobby_volume(shape=(60, 32, 32), seed=5)
 
-    def run(load_all_ram, root):
+    def run(load_all_ram, root, cc_workers=0):
         blob_root = str(root / "blob")
         post_root = str(root / "post") + os.sep
         seg_dir = os.path.join(blob_root, "mouse", "binary_segmentations")
@@ -93,7 +127,10 @@ def test_stage03_out_of_core_matches_in_ram(tmp_path):
         del mm
         cfg = PipelineConfig.from_dict(
             {
-                "postprocessing": {"output_location": post_root},
+                "postprocessing": {
+                    "output_location": post_root,
+                    "cc_workers": cc_workers,
+                },
                 "FLAGS": {"ABSPATHS": True, "LOAD_ALL_RAM": load_all_ram},
             }
         )
@@ -114,6 +151,11 @@ def test_stage03_out_of_core_matches_in_ram(tmp_path):
 
     csv_ram, stats_ram, labels_ram, name_ram = run(True, tmp_path / "ram")
     csv_ooc, stats_ooc, labels_ooc, name_ooc = run(False, tmp_path / "ooc")
+    # in-RAM + cc_workers>1 routes through the slab-parallel labeler; the
+    # whole contract (CSV text, cache name, labels, stats) must not move
+    csv_par, stats_par, labels_par, name_par = run(
+        True, tmp_path / "par", cc_workers=3
+    )
 
     assert csv_ooc == csv_ram
     assert name_ooc == name_ram
@@ -122,3 +164,11 @@ def test_stage03_out_of_core_matches_in_ram(tmp_path):
         stats_ooc["voxel_counts"], stats_ram["voxel_counts"]
     )
     np.testing.assert_allclose(stats_ooc["centroids"], stats_ram["centroids"])
+
+    assert csv_par == csv_ram
+    assert name_par == name_ram
+    np.testing.assert_array_equal(labels_par, labels_ram)
+    np.testing.assert_array_equal(
+        stats_par["voxel_counts"], stats_ram["voxel_counts"]
+    )
+    np.testing.assert_allclose(stats_par["centroids"], stats_ram["centroids"])
