@@ -89,8 +89,16 @@ def _load_labels_and_stats(cfg: PipelineConfig, brain: str, bin_img: np.ndarray)
     return labels, n, stats
 
 
-def _apply_lut_per_plane(labels, lut: np.ndarray, out_dir: str, name_fn) -> None:
-    for z in range(labels.shape[0]):
+def _apply_lut_per_plane(
+    labels, lut: np.ndarray, out_dir: str, name_fn, threads: int = 0
+) -> None:
+    """Planes are independent (distinct output files, read-only label
+    memmap + LUT), so the gather + deflate-compressed writes fan out over
+    host cores (zlib releases the GIL) — the reference writes the stack
+    serially (blob_highlighter.py:146-171). 0 = one worker per core."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(z):
         plane = lut[np.asarray(labels[z])]
         if plane.ndim == 3:  # RGB: three channel files
             write_tiff(name_fn(z, 0), plane[..., 0], compress=True)
@@ -98,6 +106,15 @@ def _apply_lut_per_plane(labels, lut: np.ndarray, out_dir: str, name_fn) -> None
             write_tiff(name_fn(z, 2), plane[..., 2], compress=True)
         else:
             write_tiff(name_fn(z, None), plane, compress=True)
+
+    w = threads if threads > 0 else min(16, os.cpu_count() or 1)
+    if w <= 1:
+        for z in range(labels.shape[0]):
+            one(z)
+    else:
+        with ThreadPoolExecutor(max_workers=w) as ex:
+            # list() drains the iterator so worker exceptions surface here
+            list(ex.map(one, range(labels.shape[0])))
 
 
 def blob_highlighter(cfg: PipelineConfig, brain: str, stack_shape: tuple) -> None:
@@ -221,11 +238,10 @@ def depth_map_blobs(
     lut[: upto + 1] = depth_vals
     if n >= 1:
         lut[n] = 0  # reference's range(N) excludes the last blob
-    for z in range(labels.shape[0]):
-        plane = lut[np.asarray(labels[z])]
-        write_tiff(
-            os.path.join(path_out_dm, f"depthmap_{str(z).zfill(4)}.tif"),
-            plane,
-            compress=True,
-        )
+    _apply_lut_per_plane(
+        labels,
+        lut,
+        path_out_dm,
+        lambda z, _c: os.path.join(path_out_dm, f"depthmap_{str(z).zfill(4)}.tif"),
+    )
     log("Depth map written", brain)
