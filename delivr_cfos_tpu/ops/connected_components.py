@@ -271,6 +271,13 @@ def label_out_of_core(
 
     Z, Y, X = binary.shape
     assert labels_out.shape == binary.shape
+    # look-ahead label workers read `binary` slabs while earlier slabs'
+    # offset-writes land in `labels_out`; aliased buffers would corrupt
+    # those reads (the serial path was read-before-write safe)
+    if isinstance(binary, np.ndarray) and isinstance(labels_out, np.ndarray):
+        assert not np.may_share_memory(binary, labels_out), (
+            "binary and labels_out must not alias"
+        )
     uf = _UnionFind()
     next_base = 1
     prev_last_plane = None
