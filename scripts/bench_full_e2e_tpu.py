@@ -1,0 +1,98 @@
+"""ONE ``run_pipeline`` call, all six stages, on the REAL TPU chip.
+
+tests/test_pipeline_full_e2e.py proves the six-stage single-invocation shape
+(incl. the stage-4 template-driven intensity registration branch) on the CPU
+mesh; this script executes the identical fixture on the actual TPU so the
+claim "the complete pipeline runs end-to-end on hardware in one invocation"
+is measured, not inferred from per-stage benches. Asserts the same science
+contract as the test (registration mode, per-region counts) and prints one
+JSON line with per-stage wall-clock.
+
+Reference anchor: __main__.py:90-221 (the six-stage loop).
+
+Usage: python scripts/bench_full_e2e_tpu.py   (~10 min: stage 4 runs the
+production multistart NCC affine + FFD at the real Allen-50 µm template
+shape, the per-brain constant measured in scripts/probe_stage4_scale.py)
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    backend = jax.devices()[0].platform
+    import test_pipeline_full_e2e as fx  # the fixture IS the test's
+
+    from delivr_cfos_tpu.pipeline.runner import run_pipeline
+
+    tmp_s = tempfile.mkdtemp(prefix="delivr_full_e2e_tpu_")
+    from pathlib import Path
+
+    tmp = Path(tmp_s)
+    raw = tmp / "raw"
+    raw16 = fx._build_raw_brain(str(raw / "mouseF"))
+    weights = tmp / "weights.npz"
+    fx._train_tiny_model(raw16, weights)
+    template_path, ann_path, ontology_path = fx._write_assets(tmp)
+    cfg = fx._make_cfg(
+        tmp, raw, "out", weights, template_path, ann_path, ontology_path
+    )
+
+    timer = run_pipeline(cfg)
+
+    # science contract, same as the CPU test
+    tr = np.load(
+        os.path.join(cfg.atlas_alignment.output_location, "mouseF", "transform.npz")
+    )
+    assert bytes(tr["mode"]).decode() == "intensity-ncc"
+    A_est, A_true = tr["affine"], fx.gt_affine()
+    pts = np.array([r[0] for r in fx._blob_gt()], np.float64)
+    err = np.linalg.norm(
+        (pts @ A_est[:, :3].T + A_est[:, 3])
+        - (pts @ A_true[:, :3].T + A_true[:, 3]),
+        axis=1,
+    )
+    import pandas as pd
+
+    cells = pd.read_csv(
+        os.path.join(cfg.region_assignment.output_location, "cells_mouseF.csv"),
+        index_col=0,
+    )
+    expected = fx._expected_region_counts()
+    assert len(cells) == sum(expected.values()), (len(cells), expected)
+
+    order = (
+        "mask_downsample",
+        "blob_detection",
+        "postprocessing",
+        "atlas_alignment",
+        "region_assignment",
+        "visualization",
+    )
+    print(
+        json.dumps(
+            {
+                "backend": backend,
+                "stages_s": {k: round(timer.spans.get(k, 0.0), 2) for k in order},
+                "registration_mode": "intensity-ncc",
+                "affine_err_mean_vox": round(float(err.mean()), 2),
+                "affine_err_max_vox": round(float(err.max()), 2),
+                "region_counts_match": True,
+                "n_cells": int(len(cells)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
