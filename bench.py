@@ -47,12 +47,35 @@ can wedge on device transfers); on timeout it falls back to the CPU backend
 and says so in the metric name. Timing forces a host readback after each
 run: on the axon backend ``block_until_ready`` returns before execution
 completes, so readback is the only reliable synchronization.
+
+**Wall-budget design (round 5).** The driver's bench capture has a finite
+timeout; round 4 produced rc=124 with an empty tail because this script
+withheld its one JSON line until all five children finished. Now:
+
+- the headline line is printed (and flushed) the moment the ``fast`` child
+  lands — a driver-side kill after that point still captures the metric;
+- every child is gated on a self-imposed total wall budget
+  (``DELIVR_BENCH_BUDGET_S``, default 1080 s) and sized so the budget can
+  never be exceeded by a single slow child;
+- the blind 1500 s TPU retry is replaced by a 120 s tiny-op probe — if the
+  probe can't touch the chip, we fall straight back to CPU;
+- the ``cells`` child caches its trained params in ``.bench_cache/`` keyed
+  by the fixture config, so the expensive on-chip training runs once per
+  machine, not once per invocation;
+- children share a persistent XLA compilation cache (``.jax_cache/``) so
+  repeat invocations skip most compile time.
+
+If enrichments (parity/tta/cells) complete within budget, the final line
+re-prints the headline metrics plus the enrichment fields; consumers that
+parse the last JSON line get the superset, consumers that parse the first
+get the headline.
 """
 
 import json
 import os
 import subprocess
 import sys
+import time
 
 _CHILD_CODE = r"""
 import json, sys, time
@@ -114,6 +137,20 @@ print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt,
                   "mode": mode}))
 """
 
+# tiny-op liveness probe: compiles one small matmul and forces a readback.
+# If this can't finish in ~2 min the TPU grant is wedged and a full bench
+# retry would only burn the wall budget.
+_PROBE_CODE = r"""
+import json, sys
+import numpy as np
+import jax, jax.numpy as jnp
+backend = jax.default_backend()
+x = jnp.ones((256, 256), jnp.bfloat16)
+y = jax.jit(lambda a: a @ a)(x)
+_ = float(np.asarray(y[0, 0]))
+print(json.dumps({"backend": backend, "ok": True}))
+"""
+
 
 # fast-vs-parity at the ACCEPTANCE metric on the real chip (VERDICT r3
 # item 2): train the production-size UNet to decisive logits on a synthetic
@@ -155,27 +192,50 @@ for _ in range(n_blobs):
 model = BasicUNetConfig() if backend == "tpu" else BasicUNetConfig(
     features=(4, 4, 8, 16, 32, 4)
 )
-tc = TrainConfig(model=model, learning_rate=1e-2)
-init_state, step = make_train_step(tc)
-params, opt_state = init_state()
-win_rng = np.random.default_rng(11)
-for i in range(150):
-    xs, ys = [], []
-    for k in range(4):
-        if k % 2 == 0:
-            c = centers[win_rng.integers(len(centers))]
-            z0 = int(np.clip(c[0]-16, 0, SHAPE[0]-32))
-            y0 = int(np.clip(c[1]-16, 0, SHAPE[1]-32))
-            x0 = int(np.clip(c[2]-16, 0, SHAPE[2]-32))
-        else:
-            z0, y0, x0 = win_rng.integers((0,0,0), np.array(SHAPE)-32, endpoint=True)
-        patch = vol[z0:z0+32, y0:y0+32, x0:x0+32]
-        xs.append(patch.astype(np.float32))
-        ys.append((patch > 40000).astype(np.float32))
-    params, opt_state, _ = step(
-        params, opt_state,
-        jnp.asarray(np.stack(xs)[..., None]), jnp.asarray(np.stack(ys)[..., None]),
-    )
+
+# the on-chip training is the expensive part of this child (150 steps of
+# the production-size UNet); cache the trained params per fixture config
+# so repeat bench invocations skip it entirely
+import pickle, pathlib
+cache_key = f"cells-{backend}-{SHAPE}-{n_blobs}-{model.features}-150steps-v1"
+cache_dir = pathlib.Path(__file__).resolve().parent / ".bench_cache"
+cache_file = cache_dir / (cache_key.replace(" ", "") + ".pkl")
+params = None
+if cache_file.exists():
+    try:
+        with open(cache_file, "rb") as f:
+            host_params = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, host_params)
+    except Exception:
+        params = None
+if params is None:
+    tc = TrainConfig(model=model, learning_rate=1e-2)
+    init_state, step = make_train_step(tc)
+    params, opt_state = init_state()
+    win_rng = np.random.default_rng(11)
+    for i in range(150):
+        xs, ys = [], []
+        for k in range(4):
+            if k % 2 == 0:
+                c = centers[win_rng.integers(len(centers))]
+                z0 = int(np.clip(c[0]-16, 0, SHAPE[0]-32))
+                y0 = int(np.clip(c[1]-16, 0, SHAPE[1]-32))
+                x0 = int(np.clip(c[2]-16, 0, SHAPE[2]-32))
+            else:
+                z0, y0, x0 = win_rng.integers((0,0,0), np.array(SHAPE)-32, endpoint=True)
+            patch = vol[z0:z0+32, y0:y0+32, x0:x0+32]
+            xs.append(patch.astype(np.float32))
+            ys.append((patch > 40000).astype(np.float32))
+        params, opt_state, _ = step(
+            params, opt_state,
+            jnp.asarray(np.stack(xs)[..., None]), jnp.asarray(np.stack(ys)[..., None]),
+        )
+    cache_dir.mkdir(exist_ok=True)
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    tmp = cache_file.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(host_params, f)
+    tmp.replace(cache_file)
 
 roi = (96, 96, 64) if backend == "tpu" else (16, 16, 16)
 cfg = SlidingWindowConfig(roi=roi, overlap=0.5, tta=False,
@@ -224,8 +284,15 @@ print(json.dumps({
 """
 
 
-def _run_child(platform: str, mode: str, timeout: int):
-    code = _CELLS_CODE if mode == "cells" else _CHILD_CODE
+def _run_child(platform: str, mode: str, timeout: float):
+    if timeout <= 5:
+        return None
+    if mode == "cells":
+        code = _CELLS_CODE
+    elif mode == "probe":
+        code = _PROBE_CODE
+    else:
+        code = _CHILD_CODE
     # force the platform from the PARENT env: this image's sitecustomize
     # registers the TPU plugin at interpreter startup, i.e. before any
     # env-var surgery inside the child script could run
@@ -233,6 +300,10 @@ def _run_child(platform: str, mode: str, timeout: int):
     if platform != "default":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = platform
+    # persistent compilation cache: repeat invocations (and the driver's
+    # capture run after an in-session warmup) skip most compile time
+    here = os.path.dirname(os.path.abspath(__file__))
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(here, ".jax_cache"))
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code, platform, mode],
@@ -240,7 +311,7 @@ def _run_child(platform: str, mode: str, timeout: int):
             text=True,
             timeout=timeout,
             env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=here,
         )
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
@@ -257,13 +328,22 @@ def main():
     # throughput (see module docstring)
     reference_estimate_gvox_s = 0.012
 
-    fast = _run_child("default", "fast", timeout=1500)
+    t0 = time.monotonic()
+    budget = float(os.environ.get("DELIVR_BENCH_BUDGET_S", "1080"))
+
+    def left() -> float:
+        return budget - (time.monotonic() - t0)
+
+    # --- headline: the fast child, probe-gated retry, CPU fallback --------
+    fast = _run_child("default", "fast", timeout=min(480.0, left()))
+    if fast is None and left() > 240:
+        # short liveness probe instead of a blind full retry: if a tiny
+        # matmul can't land in 2 min, the grant is wedged — go to CPU
+        probe = _run_child("default", "probe", timeout=min(180.0, left()))
+        if probe is not None and left() > 240:
+            fast = _run_child("default", "fast", timeout=min(420.0, left() - 90))
     if fast is None:
-        # a wedged TPU grant usually clears within ~30-45 min server-side;
-        # one retry (another 25 min window) beats reporting a CPU fallback
-        fast = _run_child("default", "fast", timeout=1500)
-    if fast is None:
-        fast = _run_child("cpu", "fast", timeout=1500)
+        fast = _run_child("cpu", "fast", timeout=max(left() - 20, 60.0))
     if fast is None:
         print(
             json.dumps(
@@ -273,19 +353,10 @@ def main():
                     "unit": "GVoxel/s",
                     "vs_baseline": 0.0,
                 }
-            )
+            ),
+            flush=True,
         )
         return
-
-    parity = tta = cells = None
-    if fast["backend"] == "tpu":
-        parity = _run_child("default", "parity", timeout=1500)
-        # reference-default semantics: TTA on = 13 full-volume passes
-        # (inference.py:269-279); tta_value is unique-output GVox/s for the
-        # complete 13-pass run (VERDICT r2 item 4: measured, not projected)
-        tta = _run_child("default", "tta", timeout=1500)
-        # fast-vs-parity cell-count equality ON THE CHIP (VERDICT r3 item 2)
-        cells = _run_child("default", "cells", timeout=1500)
 
     metric = "unet_sliding_window_throughput_per_chip"
     if fast["backend"] != "tpu":
@@ -296,25 +367,57 @@ def main():
         "unit": "GVoxel/s",
         "vs_baseline": round(fast["gvox_per_s"] / reference_estimate_gvox_s, 2),
     }
-    if parity is not None:
-        result["parity_mode_value"] = round(parity["gvox_per_s"], 4)
-    if tta is not None:
-        result["tta_value"] = round(tta["gvox_per_s"], 4)
-    if cells is not None:
-        result["fast_parity_cells_equal"] = bool(
-            cells["cells_equal"] and cells["centroids_agree"]
+    # the headline lands NOW — a driver-side timeout after this point still
+    # captures the metric (round 4 lost its number to a withheld print)
+    print(json.dumps(result), flush=True)
+
+    # --- enrichments, each gated on the remaining wall budget -------------
+    enriched = False
+    if fast["backend"] == "tpu":
+        # fast-vs-parity cell-count equality ON THE CHIP (VERDICT r3 item 2);
+        # cheap when the .bench_cache params hit, ~training-dominated when cold
+        cells = (
+            _run_child("default", "cells", timeout=min(420.0, left() - 60))
+            if left() > 240
+            else None
         )
-        result["fast_parity_cells"] = {
-            k: cells[k]
-            for k in (
-                "n_parity",
-                "n_fast",
-                "flipped_voxels",
-                "max_abs_logit_dev",
-                "flips_within_logit_margin",
+        if cells is not None:
+            result["fast_parity_cells_equal"] = bool(
+                cells["cells_equal"] and cells["centroids_agree"]
             )
-        }
-    print(json.dumps(result))
+            result["fast_parity_cells"] = {
+                k: cells[k]
+                for k in (
+                    "n_parity",
+                    "n_fast",
+                    "flipped_voxels",
+                    "max_abs_logit_dev",
+                    "flips_within_logit_margin",
+                )
+            }
+            enriched = True
+        parity = (
+            _run_child("default", "parity", timeout=min(300.0, left() - 40))
+            if left() > 180
+            else None
+        )
+        if parity is not None:
+            result["parity_mode_value"] = round(parity["gvox_per_s"], 4)
+            enriched = True
+        # reference-default semantics: TTA on = 13 full-volume passes
+        # (inference.py:269-279); tta_value is unique-output GVox/s for the
+        # complete 13-pass run (VERDICT r2 item 4: measured, not projected)
+        tta = (
+            _run_child("default", "tta", timeout=min(300.0, left() - 30))
+            if left() > 150
+            else None
+        )
+        if tta is not None:
+            result["tta_value"] = round(tta["gvox_per_s"], 4)
+            enriched = True
+
+    if enriched:
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

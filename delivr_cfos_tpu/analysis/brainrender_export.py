@@ -10,51 +10,16 @@ reference (the script is out-of-pipeline, SURVEY.md §2.1 P13).
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
 import pandas as pd
 
-# camera presets from the reference's render drivers
-# (2021_preprocess_for_brainrender_v13.py:435-493)
-CAMERAS = {
-    "techpaper_cam_01": {
-        "pos": (2093, 2345, -49727),
-        "viewup": (0, -1, 0),
-        "clippingRange": (33881, 52334),
-        "focalPoint": (6888, 3571, -5717),
-        "distance": 44288,
-    },
-    "cFosCamera_01": {
-        "pos": (-10104, -18549, 28684),
-        "viewup": (0, -1, 0),
-        "clippingRange": (25755, 66938),
-        "focalPoint": (6888, 3571, -5717),
-        "distance": 44288,
-    },
-    "cFos_sagittal": {
-        "pos": (8525, 2656, -49965),
-        "viewup": (0, -1, 0),
-        "clippingRange": (32907, 58823),
-        "focalPoint": (6888, 3571, -5717),
-        "distance": 44288,
-    },
-    "cFos_coronal": {
-        "pos": (-37318, 916, -6157),
-        "viewup": (0, -1, 0),
-        "clippingRange": (29896, 61881),
-        "focalPoint": (6888, 3571, -5717),
-        "distance": 44288,
-    },
-    "cFos_top": {
-        "pos": (2613, -40510, -5917),
-        "viewup": (-1, 0, 0),
-        "clippingRange": (35416, 56124),
-        "focalPoint": (6888, 3571, -5717),
-        "distance": 44288,
-    },
-}
+from delivr_cfos_tpu.analysis.brainrender_render import (  # noqa: F401
+    CAMERAS,
+    render_screenshot,
+    render_video,
+)
 
 
 def mbrainaligner_atlas_to_ccf_um(cells: pd.DataFrame) -> np.ndarray:
