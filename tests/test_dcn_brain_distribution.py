@@ -16,9 +16,12 @@ from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig
 from delivr_cfos_tpu.models.convert import save_params_npz
 from delivr_cfos_tpu.pipeline.runner import run_pipeline
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # two-slice hybrid mesh compiles
+    pytest.mark.skipif(
+        jax.device_count() < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 TINY = (4, 4, 8, 16, 32, 4)
 REAL_SHAPE = (16, 32, 32)

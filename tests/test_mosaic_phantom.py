@@ -19,10 +19,13 @@ import jax.numpy as jnp
 
 RAW_DIR = "/root/reference/training_data/cFos/raw"
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu" or not os.path.isdir(RAW_DIR),
-    reason="minutes-scale MI-FFD needs the TPU; real patches needed",
-)
+pytestmark = [
+    pytest.mark.slow,  # full mosaic phantom registration
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu" or not os.path.isdir(RAW_DIR),
+        reason="minutes-scale MI-FFD needs the TPU; real patches needed",
+    ),
+]
 
 
 def _build_mosaic(n_y=2, n_x=2, seed=0):

@@ -57,3 +57,45 @@ def test_auto_batch_size_bounds():
     # a huge resident volume shrinks the batch
     b_small = auto_batch_size((96, 96, 64), cfg, volume_bytes=14 * 2**30)
     assert b_small <= b
+
+
+class _FakeDevice:
+    def __init__(self, stats):
+        self._stats = stats
+
+    def memory_stats(self):
+        return self._stats
+
+
+def test_auto_batch_size_telemetry_regimes():
+    """VERDICT r4 item 9: dead telemetry (axon zeroes memory_stats) keeps
+    the 16 GB assumption + measured-safe cap 32; live telemetry sizes from
+    the REPORTED HBM and may exceed 32 (bounded at 256)."""
+    from delivr_cfos_tpu.engine.sliding_window import auto_batch_size
+
+    cfg = BasicUNetConfig()
+    roi = (96, 96, 64)
+
+    dead = auto_batch_size(roi, cfg, device=_FakeDevice({"bytes_limit": 0}))
+    dead2 = auto_batch_size(roi, cfg, device=_FakeDevice({}))
+    assert dead == dead2 and 1 <= dead <= 32
+
+    # a 95 GB chip (v5p-class) with working telemetry lifts the cap
+    big = auto_batch_size(
+        roi, cfg, device=_FakeDevice({"bytes_limit": 95 * 2**30})
+    )
+    assert big > 32 and big <= 256 and big & (big - 1) == 0
+
+    # live telemetry on a 16 GB chip must agree with the dead-telemetry
+    # assumption (same budget, same cap region)
+    live16 = auto_batch_size(
+        roi, cfg, device=_FakeDevice({"bytes_limit": 16 * 2**30})
+    )
+    assert live16 == dead
+
+    # a raising device falls back to the conservative regime
+    class _Boom:
+        def memory_stats(self):
+            raise RuntimeError("no telemetry")
+
+    assert auto_batch_size(roi, cfg, device=_Boom()) == dead

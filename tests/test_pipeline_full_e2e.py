@@ -39,6 +39,8 @@ from delivr_cfos_tpu.pipeline.runner import run_pipeline
 from delivr_cfos_tpu.utils.io.nrrd import write_nrrd
 from delivr_cfos_tpu.utils.io.tiff import write_tiff, write_tiff_stack
 
+pytestmark = pytest.mark.slow  # all six stages end-to-end
+
 TINY = (4, 4, 8, 16, 32, 4)
 RAW_SHAPE = (24, 96, 96)  # (z, y, x); ratios (1, 4, 4)
 DS_SHAPE = (23, 24, 24)  # stage-1 z-chunk quirk: ceil(24/1) − 1

@@ -26,6 +26,8 @@ from delivr_cfos_tpu.registration.validate import (
 )
 from delivr_cfos_tpu.registration.warp import affine_apply
 
+pytestmark = pytest.mark.slow  # full multistart registration solves
+
 
 SHAPE = (48, 40, 56)
 

@@ -20,9 +20,12 @@ from delivr_cfos_tpu.ops.connected_components import (
 from delivr_cfos_tpu.parallel.mesh import make_mesh
 from delivr_cfos_tpu.parallel.sharded_cc import label_volume_sharded
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # 8-device sharded CC stress shapes
+    pytest.mark.skipif(
+        jax.device_count() < 8, reason="needs 8 virtual devices"
+    ),
+]
 
 
 def _assert_matches_host(vol, n_sp=8):

@@ -11,6 +11,8 @@ from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_vol
 from delivr_cfos_tpu.models import BasicUNetConfig, init_params
 from delivr_cfos_tpu.parallel import make_mesh, sharded_infer_volume
 
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate (>570 s on one core)
+
 TINY = (4, 4, 8, 16, 32, 4)
 MODEL_CFG = BasicUNetConfig(features=TINY)
 ROI = (16, 16, 16)

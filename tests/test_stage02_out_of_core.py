@@ -22,6 +22,8 @@ from delivr_cfos_tpu.engine.streaming import infer_volume_streaming
 from delivr_cfos_tpu.models import BasicUNetConfig, init_params
 from delivr_cfos_tpu.ops.morphology import binarize_logits
 
+pytestmark = pytest.mark.slow  # out-of-core slab inference
+
 TINY = (4, 4, 8, 16, 32, 4)
 MODEL_CFG = BasicUNetConfig(features=TINY)
 ROI = (16, 16, 16)

@@ -12,6 +12,8 @@ import jax
 from delivr_cfos_tpu.config import PipelineConfig
 from delivr_cfos_tpu.models import BasicUNetConfig, init_params
 
+pytestmark = pytest.mark.slow  # mesh-sharded stage-2 compile
+
 TINY = (4, 4, 8, 16, 32, 4)
 MODEL_CFG = BasicUNetConfig(features=TINY)
 ROI = (16, 16, 16)

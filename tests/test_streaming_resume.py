@@ -13,6 +13,8 @@ from delivr_cfos_tpu.engine.streaming import (
 )
 from delivr_cfos_tpu.models import BasicUNetConfig, init_params
 
+pytestmark = pytest.mark.slow  # full streaming resume matrix (~3 min)
+
 TINY = (4, 4, 8, 16, 32, 4)
 MODEL_CFG = BasicUNetConfig(features=TINY)
 ROI = (16, 16, 16)

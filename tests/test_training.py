@@ -12,6 +12,8 @@ from delivr_cfos_tpu.parallel.mesh import make_mesh
 from delivr_cfos_tpu.training import TrainConfig, dice_bce_loss, make_train_step
 from delivr_cfos_tpu.training.data import batch_iterator, list_patch_pairs
 
+pytestmark = pytest.mark.slow  # on-device training loops
+
 TINY = BasicUNetConfig(features=(4, 4, 8, 16, 32, 4))
 REF_ROOT = "/root/reference/training_data/cFos"
 
