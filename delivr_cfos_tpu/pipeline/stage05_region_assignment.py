@@ -97,28 +97,54 @@ def create_region_table(cells: pd.DataFrame, ontology_df: pd.DataFrame) -> pd.Da
 
 
 def collapse_to_color_group(elements, ontology_df: pd.DataFrame) -> pd.DataFrame:
-    """Collapse counts by color-hex group (reference: cells_to_atlas.py:92-112)."""
+    """Collapse counts by color-hex group (reference: cells_to_atlas.py:92-112).
+
+    One groupby per input instead of the reference's O(groups × regions)
+    row-wise scan; column contracts preserved exactly: ColorGroup rows in
+    first-appearance ontology order, GroupedAcronyms joined in ontology row
+    order, GroupName/GroupAcronym from the group's first acronym (GroupName
+    through the reference's acronym→name ``to_string`` lookup, which
+    concatenates when an acronym recurs in the ontology), BlobCount summed
+    over the element rows of that color (0 when absent or no elements).
+    """
     tmp = pd.DataFrame(elements)
-    groups = pd.DataFrame(
-        columns=["ColorGroup", "GroupName", "GroupAcronym", "GroupedAcronyms", "BlobCount"]
+    by_color = ontology_df.groupby("color-hex-triplet", sort=False)
+    colors = ontology_df["color-hex-triplet"].unique()
+    grouped_acronyms = by_color["acronym"].agg(", ".join)
+    first_acronym = by_color["acronym"].first()
+    # acronym→name through the reference's ``to_string`` lookup, evaluated
+    # only for the acronyms that actually lead a group (to_string is ~1 ms
+    # per call — over all 1328 Allen structures it would dominate the stage)
+    name_of_acronym = (
+        ontology_df[ontology_df["acronym"].isin(first_acronym)]
+        .groupby("acronym", sort=False)["name"]
+        .agg(lambda s: s.to_string(index=False).strip())
     )
-    groups["ColorGroup"] = ontology_df["color-hex-triplet"].unique().tolist()
-    for i in range(len(groups)):
-        color = groups.at[i, "ColorGroup"]
-        acronyms = ontology_df[ontology_df["color-hex-triplet"] == color]["acronym"].tolist()
-        groups.at[i, "GroupedAcronyms"] = ", ".join(acronyms)
-        groups.at[i, "GroupName"] = (
-            ontology_df[ontology_df["acronym"] == acronyms[0]]["name"]
-            .to_string(index=False)
-            .strip()
-        )
-        groups.at[i, "GroupAcronym"] = acronyms[0]
-        if len(tmp):
-            groups.at[i, "BlobCount"] = tmp[tmp["color-hex-triplet"] == color][
-                "number"
-            ].sum()
-        else:
-            groups.at[i, "BlobCount"] = 0
+    if len(tmp):
+        counts = tmp.groupby("color-hex-triplet")["number"].sum()
+        blob_counts = [
+            counts.get(c, tmp["number"].iloc[:0].sum()) for c in colors
+        ]
+    else:
+        blob_counts = [0] * len(colors)
+    groups = pd.DataFrame(
+        {
+            "ColorGroup": colors,
+            "GroupName": name_of_acronym.loc[
+                first_acronym.loc[colors]
+            ].to_numpy(),
+            "GroupAcronym": first_acronym.loc[colors].to_numpy(),
+            "GroupedAcronyms": grouped_acronyms.loc[colors].to_numpy(),
+            "BlobCount": blob_counts,
+        },
+        columns=[
+            "ColorGroup",
+            "GroupName",
+            "GroupAcronym",
+            "GroupedAcronyms",
+            "BlobCount",
+        ],
+    )
     return groups
 
 

@@ -96,24 +96,28 @@ print(json.dumps({
 """
 
 
-def run(platform: str, timeout: int = 1500):
+def run(platform: str, timeout: int = 2400):
     env = dict(os.environ)
     if platform == "cpu":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHILD, platform],
-        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD, platform],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout}s"}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)
         except json.JSONDecodeError:
             continue
-    print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
-    return None
+    return {"error": (proc.stdout[-1000:] + proc.stderr[-1000:])}
 
 
 if __name__ == "__main__":
-    out = {p: run(p) for p in ("cpu", "default")}
-    print(json.dumps(out, indent=2))
+    platforms = sys.argv[1:] or ["cpu", "default"]
+    for p in platforms:
+        print(json.dumps({p: run(p)}), flush=True)

@@ -85,6 +85,7 @@ def test_dense_matches_loop(params, shape):
     np.testing.assert_array_equal(np.asarray(bin_d), np.asarray(bin_l))
 
 
+@pytest.mark.slow  # 13-pass TTA, dense + loop accumulate (~60 s)
 def test_dense_matches_loop_tta_flips(params):
     vol = _volume((48, 32, 32), seed=3)
     base = SlidingWindowConfig(

@@ -18,6 +18,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # trains a model in the fixture (~70 s); the bench 'cells' child covers fast-vs-parity on-chip
+
 import jax
 
 from delivr_cfos_tpu.config import PipelineConfig

@@ -271,3 +271,62 @@ def test_create_heatmap_inplace_filter_bit_exact():
     got = create_heatmap(cells, shape)
     assert got.dtype == np.float32
     np.testing.assert_array_equal(got, expected)
+
+
+def test_collapse_to_color_group_matches_rowwise_reference():
+    """The vectorized groupby collapse must reproduce the reference's
+    row-wise scan (cells_to_atlas.py:92-112) column for column — including
+    the acronym→name ``to_string`` quirk when an acronym recurs."""
+    from delivr_cfos_tpu.pipeline.stage05_region_assignment import (
+        collapse_to_color_group,
+    )
+
+    ontology = pd.DataFrame(
+        {
+            "acronym": ["root", "ISO", "CA1", "CA2", "DUP", "DUP"],
+            "name": ["root", "Isocortex", "Field CA1", "Field CA2",
+                     "dup one", "dup two"],
+            "color-hex-triplet": ["FFFFFF", "70FF71", "7ED04B", "7ED04B",
+                                  "AA0000", "AA0000"],
+        }
+    )
+    elements = pd.DataFrame(
+        {
+            "color-hex-triplet": ["70FF71", "7ED04B", "7ED04B", "AA0000"],
+            "number": [3, 5, 2, 7],
+        }
+    )
+
+    def rowwise(elements, ontology_df):
+        tmp = pd.DataFrame(elements)
+        groups = pd.DataFrame(
+            columns=["ColorGroup", "GroupName", "GroupAcronym",
+                     "GroupedAcronyms", "BlobCount"]
+        )
+        groups["ColorGroup"] = ontology_df["color-hex-triplet"].unique().tolist()
+        for i in range(len(groups)):
+            color = groups.at[i, "ColorGroup"]
+            acronyms = ontology_df[
+                ontology_df["color-hex-triplet"] == color
+            ]["acronym"].tolist()
+            groups.at[i, "GroupedAcronyms"] = ", ".join(acronyms)
+            groups.at[i, "GroupName"] = (
+                ontology_df[ontology_df["acronym"] == acronyms[0]]["name"]
+                .to_string(index=False)
+                .strip()
+            )
+            groups.at[i, "GroupAcronym"] = acronyms[0]
+            if len(tmp):
+                groups.at[i, "BlobCount"] = tmp[
+                    tmp["color-hex-triplet"] == color
+                ]["number"].sum()
+            else:
+                groups.at[i, "BlobCount"] = 0
+        return groups
+
+    for elems in (elements, elements.iloc[:0]):
+        got = collapse_to_color_group(elems, ontology)
+        want = rowwise(elems, ontology)
+        assert list(got.columns) == list(want.columns)
+        for col in want.columns:
+            assert got[col].astype(str).tolist() == want[col].astype(str).tolist(), col

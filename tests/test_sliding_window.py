@@ -109,6 +109,7 @@ def test_engine_matches_golden_tta_flips_no_noise(params):
     np.testing.assert_allclose(np.asarray(mean_logits), golden, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # 13-pass TTA through BOTH model paths (~80 s on one core)
 def test_tta_runs_cs_path(params):
     """TTA flips/noise go through the pallas_cs model (flips are window-space
     ops ahead of the CS entry reshape — no silent NDHWC fallback; VERDICT r2

@@ -73,6 +73,7 @@ def test_streaming_from_memmap(params, tmp_path):
     )
 
 
+@pytest.mark.slow  # 13-pass TTA through the streaming engine (~40 s)
 def test_streaming_tta(params):
     rng = np.random.default_rng(3)
     vol = np.zeros((48, 32, 32), np.uint16)
