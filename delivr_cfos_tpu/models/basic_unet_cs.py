@@ -112,7 +112,7 @@ def _fused_eligible(x, h, wd):
     return h * wd >= min_plane
 
 
-def _two_conv_cs(x, p, h, wd):
+def _two_conv_cs(x, p, h, wd, pair=None):
     """conv → IN → mish → conv → IN → mish. On Pallas-eligible planes each
     conv emits per-plane Σx/Σx² alongside its output, so the InstanceNorm
     statistics never re-read the conv output from HBM; normalize+mish then
@@ -125,8 +125,15 @@ def _two_conv_cs(x, p, h, wd):
     call boundary, costing more than the saved elementwise pass. The
     prologue path (conv3d_cs ``in_affine``) stays available and tested.
     Reference semantics: MONAI TwoConv (basic_unet.py; tolerances at bf16
-    rounding level — fast mode only)."""
+    rounding level — fast mode only).
+
+    ``pair=(x2, bias2)``: the first conv runs in the kernel's pair mode —
+    it convolves the in-VMEM concat of ``x`` and ``x2`` (with ``bias2``
+    folded into ``x2``'s plane loads), bit-identical to convolving
+    ``concat([x, x2 + bias2])`` but with no HBM concat or broadcast-add
+    (the UpCat fast path). Caller guarantees Pallas eligibility."""
     if not _fused_eligible(x, h, wd):
+        assert pair is None
         x = _conv_block_cs(x, p["conv_0"], h, wd)
         return _conv_block_cs(x, p["conv_1"], h, wd)
     p0, p1 = p["conv_0"], p["conv_1"]
@@ -134,7 +141,7 @@ def _two_conv_cs(x, p, h, wd):
     # conv biases are omitted: exactly cancelled by each IN (see
     # _conv_stats_cs) — y0/y1 are biasless but a·y' + c reproduces the
     # biased IN output bit-for-bit at the math level
-    y0, st0 = _conv_stats_cs(x, p0["w"], h, wd)
+    y0, st0 = _conv_stats_cs(x, p0["w"], h, wd, pair=pair)
     a0, c0 = _in_affine_from_stats(st0, p0["scale"], p0["bias"], n_vox)
     y0 = _affine_mish_cs(y0, a0, c0)
     y1, st1 = _conv_stats_cs(y0, p1["w"], h, wd)
@@ -142,14 +149,26 @@ def _two_conv_cs(x, p, h, wd):
     return _affine_mish_cs(y1, a1, c1)
 
 
-def _conv_stats_cs(x, w, h, wd):
+def _conv_stats_cs(x, w, h, wd, pair=None):
     """Pallas conv with stats output; pads odd C_in like _conv_cs.
 
     Passes ``bias=None``: the conv bias is a mathematical no-op under the
     InstanceNorm that follows (IN subtracts the per-(B, C) mean and the
     bias also cancels out of the stats→affine derivation — variance is
     shift-invariant, and c = bias_IN − mean·a is identical computed from
-    biasless statistics), so the kernel never stages the bias operand."""
+    biasless statistics), so the kernel never stages the bias operand.
+
+    ``pair=(x2, bias2)``: kernel pair mode; ``w`` is split by ``x``'s
+    channel count into the two inputs' weight slices (the kernel's
+    in-VMEM concat is channel-ordered [x; x2], matching
+    ``concat([x, x2])`` through the full weight tensor)."""
+    if pair is not None:
+        x2, bias2 = pair
+        c1 = x.shape[2]
+        return conv3d_cs(
+            x, w[:, :, :, :c1], None, h=h, w=wd, interpret=_interpret(),
+            emit_stats=True, pair=(x2, w[:, :, :, c1:], bias2),
+        )
     if x.shape[2] % 2:
         x = jnp.concatenate(
             [x, jnp.zeros((*x.shape[:2], 1, x.shape[3]), x.dtype)], axis=2
@@ -186,7 +205,10 @@ def _deconv2x_cs(x, w, b, h, wd):
     the upcat_1 shape, scripts/probe_deconv.py variants E vs A; bit-
     identical output). Weights are torch ConvTranspose3d layout
     (C_in, C_out, 2, 2, 2) (reference: inference.py:190-197 via MONAI
-    UpCat), flipped to regular-conv orientation for conv_transpose."""
+    UpCat), flipped to regular-conv orientation for conv_transpose.
+
+    ``b=None`` skips the bias broadcast-add (the UpCat fast path folds it
+    into the consumer conv's plane loads instead, bit-identically)."""
     bsz, d, c, s = x.shape
     o = w.shape[1]
     xg = x.reshape(bsz, d, c, h, wd)
@@ -199,11 +221,25 @@ def _deconv2x_cs(x, w, b, h, wd):
         dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
     )
     y = y.reshape(bsz, 2 * d, o, (2 * h) * (2 * wd))
+    if b is None:
+        return y
     return y + b.astype(x.dtype)[None, None, :, None]
 
 
 def _upcat_cs(x, x_skip, p, h, wd):
-    """h, wd are the SKIP level's plane dims (deconv output dims)."""
+    """h, wd are the SKIP level's plane dims (deconv output dims).
+
+    On Pallas-eligible planes the concat never materializes: the first
+    TwoConv conv runs in kernel pair mode over (skip, raw deconv output)
+    with the deconv bias folded into the deconv half's plane loads —
+    bit-identical to concat([skip, deconv+bias]) → conv, minus the HBM
+    concat fusion and the full-resolution broadcast-add (VERDICT r4
+    item 4 lever; trace: the upcat_1 concat alone was ~1.8 ms/step)."""
+    if _fused_eligible(x_skip, h, wd):
+        x0 = _deconv2x_cs(x, p["deconv_w"], None, h // 2, wd // 2)
+        return _two_conv_cs(
+            x_skip.astype(x0.dtype), p, h, wd, pair=(x0, p["deconv_b"])
+        )
     x0 = _deconv2x_cs(x, p["deconv_w"], p["deconv_b"], h // 2, wd // 2)
     x = jnp.concatenate([x_skip.astype(x0.dtype), x0], axis=2)
     return _two_conv_cs(x, p, h, wd)

@@ -48,14 +48,24 @@ def _mish_f32(v):
     return v * jnp.tanh(jax.nn.softplus(v))
 
 
-def _kernel(xm1, x0, xp1, w_ref, *rest, cin, cout, h, wdt, n_d,
-            interpret, has_affine, has_bias, emit_stats):
-    """rest = [b_ref]? + [a_ref, c_ref]? + out_ref [+ stats_ref] + scratch."""
-    idx = 0
+def _kernel(*args, cin, cout, h, wdt, n_d, n_in,
+            interpret, has_affine, has_bias, has_pair_bias, emit_stats):
+    """args = x-plane refs (3 per input) + w_ref + [pair_bias_ref]? +
+    [b_ref]? + [a_ref, c_ref]? + out_ref [+ stats_ref] + scratch.
+    ``n_in`` inputs occupy disjoint channel-row segments of the pad
+    scratch (pair mode: the concat happens in VMEM at plane-load time)."""
+    xrefs = [args[i * 3 : (i + 1) * 3] for i in range(n_in)]
+    rest = args[n_in * 3 :]
+    w_ref = rest[0]
+    idx = 1
+    pb_ref = None
+    if has_pair_bias:
+        pb_ref = rest[idx]
+        idx += 1
     b_ref = None
     if has_bias:
-        b_ref = rest[0]
-        idx = 1
+        b_ref = rest[idx]
+        idx += 1
     if has_affine:
         a_ref, c_ref = rest[idx], rest[idx + 1]
         idx += 2
@@ -75,21 +85,43 @@ def _kernel(xm1, x0, xp1, w_ref, *rest, cin, cout, h, wdt, n_d,
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for dz, xref, guard in ((0, xm1, d > 0), (1, x0, None), (2, xp1, d < n_d - 1)):
-        def tap_block():
-            plane = xref[0, 0]
-            if has_affine:
-                # fused InstanceNorm+mish prologue: the producer conv emitted
-                # raw (pre-norm) activations plus per-(B, C) affine factors
-                # a = inv·scale, c = bias − mean·inv·scale; applying
-                # mish(x·a + c) here removes the separate normalize+mish
-                # HBM round trip (VERDICT r2 item 3)
-                v = plane.astype(jnp.float32)
-                v = v * a_ref[0, 0][:, None] + c_ref[0, 0][:, None]
-                plane = _mish_f32(v).astype(pad_ref.dtype)
-            # pad guard rows (zeros) around the plane for the dy taps
+    for dz, xref_row, guard in (
+        (0, [xs[0] for xs in xrefs], d > 0),
+        (1, [xs[1] for xs in xrefs], None),
+        (2, [xs[2] for xs in xrefs], d < n_d - 1),
+    ):
+        def tap_block(xref_row=xref_row):
+            # load each input's channel rows into its pad-scratch segment —
+            # pair mode's concat happens HERE, in VMEM, instead of as an
+            # HBM concat fusion before the call; the second input's folded
+            # per-channel bias replaces the XLA broadcast-add (bf16 add,
+            # bit-identical to the former tensor-level add)
+            row0 = 0
+            for i, xref in enumerate(xref_row):
+                plane = xref[0, 0]
+                ci = plane.shape[0]
+                if i == n_in - 1 and pb_ref is not None:
+                    # add in f32: Mosaic only supports minor-dim insertion
+                    # ([:, None]) on 32-bit vectors, and bf16 add == f32
+                    # add + bf16 round on TPU anyway (bit-identical)
+                    plane = (
+                        plane.astype(jnp.float32)
+                        + pb_ref[...].astype(jnp.float32)[:, None]
+                    ).astype(pad_ref.dtype)
+                if has_affine:
+                    # fused InstanceNorm+mish prologue: the producer conv
+                    # emitted raw (pre-norm) activations plus per-(B, C)
+                    # affine factors a = inv·scale, c = bias − mean·inv·
+                    # scale; applying mish(x·a + c) here removes the
+                    # separate normalize+mish HBM round trip (VERDICT r2
+                    # item 3). Single-input only (asserted at call level).
+                    v = plane.astype(jnp.float32)
+                    v = v * a_ref[0, 0][:, None] + c_ref[0, 0][:, None]
+                    plane = _mish_f32(v).astype(pad_ref.dtype)
+                pad_ref[row0 : row0 + ci, wdt : wdt + h * wdt] = plane
+                row0 += ci
+            # pad guard rows (zeros) around the planes for the dy taps
             pad_ref[:, :wdt] = jnp.zeros((cin, wdt), pad_ref.dtype)
-            pad_ref[:, wdt : wdt + h * wdt] = plane
             pad_ref[:, wdt + h * wdt :] = jnp.zeros((cin, wdt), pad_ref.dtype)
             if interpret:
                 xpad = pad_ref[...].astype(jnp.float32)
@@ -180,8 +212,8 @@ def _auto_planes(n_d, cin, cout, s0, sp, budget=15_500_000) -> int:
     return 1
 
 
-def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
-               has_affine, has_bias, emit_stats):
+def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, n_in, cins,
+               interpret, has_affine, has_bias, has_pair_bias, emit_stats):
     """Multi-plane program: computes ``planes`` consecutive output z-planes
     as one (planes·cout)-row accumulator, so the MXU sees M = planes·32
     instead of 32 (measured 86.7 TFLOP/s at M=64 and 106.5 at M=128 vs
@@ -199,9 +231,13 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
     P = 2 within VMEM); chunk partials accumulate into the same f32
     accumulator — bf16-rounding-level difference vs a single K-576 dot."""
     P = planes
-    xrefs = refs[: P + 2]
-    w_ref = refs[P + 2]
-    idx = P + 3
+    xrefs = [refs[i * (P + 2) : (i + 1) * (P + 2)] for i in range(n_in)]
+    w_ref = refs[n_in * (P + 2)]
+    idx = n_in * (P + 2) + 1
+    pb_ref = None
+    if has_pair_bias:
+        pb_ref = refs[idx]
+        idx += 1
     b_ref = None
     if has_bias:
         b_ref = refs[idx]
@@ -227,9 +263,23 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
 
     chunk = _chunk_of(cin, sp)
     n_chunks = cin // chunk
+    # per-chunk segment map (static): chunk q's pad rows [dst, dst+n) load
+    # from source i's channel rows [lo, hi) — pair mode's in-VMEM concat
+    bounds = np.cumsum([0] + list(cins))
+    chunk_segments = []
+    for q in range(n_chunks):
+        g0, g1 = q * chunk, (q + 1) * chunk
+        segs = []
+        for i in range(n_in):
+            lo, hi = max(g0, bounds[i]), min(g1, bounds[i + 1])
+            if lo < hi:
+                segs.append(
+                    (i, lo - bounds[i], hi - bounds[i], lo - g0)
+                )
+        chunk_segments.append(segs)
 
     for j in range(P + 2):
-        xref = xrefs[j]
+        xref_row = [xs[j] for xs in xrefs]
         p0 = max(0, j - 2)
         p1 = min(P - 1, j)
         n_p = p1 - p0 + 1
@@ -237,17 +287,25 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
         # plane p uses dz = j−p → block index 2−(j−p0) for the first row
         w_row0 = (2 - (j - p0)) * cout
 
-        def tap_block(xref=xref, p0=p0, n_p=n_p, w_row0=w_row0):
+        def tap_block(xref_row=xref_row, p0=p0, n_p=n_p, w_row0=w_row0):
             for q in range(n_chunks):
-                plane = xref[0, 0][q * chunk : (q + 1) * chunk]
-                if has_affine:
-                    v = plane.astype(jnp.float32)
-                    av = a_ref[0, 0][q * chunk : (q + 1) * chunk]
-                    cv = c_ref[0, 0][q * chunk : (q + 1) * chunk]
-                    v = v * av[:, None] + cv[:, None]
-                    plane = _mish_f32(v).astype(pad_ref.dtype)
+                for i, lo, hi, dst in chunk_segments[q]:
+                    plane = xref_row[i][0, 0][lo:hi]
+                    if i == n_in - 1 and pb_ref is not None:
+                        # f32 add: Mosaic minor-dim insertion needs 32-bit;
+                        # bf16 add == f32 add + bf16 round (bit-identical)
+                        plane = (
+                            plane.astype(jnp.float32)
+                            + pb_ref[...][lo:hi].astype(jnp.float32)[:, None]
+                        ).astype(pad_ref.dtype)
+                    if has_affine:
+                        v = plane.astype(jnp.float32)
+                        av = a_ref[0, 0][q * chunk + dst : q * chunk + dst + (hi - lo)]
+                        cv = c_ref[0, 0][q * chunk + dst : q * chunk + dst + (hi - lo)]
+                        v = v * av[:, None] + cv[:, None]
+                        plane = _mish_f32(v).astype(pad_ref.dtype)
+                    pad_ref[dst : dst + (hi - lo), wdt : wdt + h * wdt] = plane
                 pad_ref[:, :wdt] = jnp.zeros((chunk, wdt), pad_ref.dtype)
-                pad_ref[:, wdt : wdt + h * wdt] = plane
                 pad_ref[:, wdt + h * wdt :] = jnp.zeros(
                     (chunk, wdt), pad_ref.dtype
                 )
@@ -309,7 +367,8 @@ def _kernel_mp(*refs, planes, cin, cout, h, wdt, n_groups, interpret,
     jax.jit, static_argnames=("h", "w", "interpret", "emit_stats", "planes")
 )
 def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
-              in_affine=None, emit_stats: bool = False, planes: int = 0):
+              in_affine=None, emit_stats: bool = False, planes: int = 0,
+              pair=None):
     """3×3×3 SAME convolution on (B, D, C_in, H·W) bf16 activations.
 
     ``weights``: standard (3, 3, 3, C_in, C_out) (DHWIO); ``bias``: (C_out,).
@@ -335,17 +394,55 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     shift-invariant and c = bias_IN − mean·a is identical computed from
     biasless stats) — the fused model path passes None so the tiny f32
     bias operand never stages at the Pallas call boundary.
+
+    ``pair=(x2, w2[, bias2])`` computes ``conv(concat([x, x2], C), concat(
+    [weights, w2], C_in))`` WITHOUT materializing the concat: the kernel
+    loads each input's channel rows into its segment of the VMEM pad
+    scratch, so the roll/dot structure — and therefore the output — is
+    bit-identical to the concat formulation. ``bias2`` (per-channel, added
+    to x2's planes in bf16 at load time) replaces a tensor-level
+    ``x2 + bias2`` broadcast-add bit-for-bit. This is the UpCat fast path:
+    skip + deconv output never round-trip through an HBM concat, and the
+    deconv bias add disappears into the load (VERDICT r4 item 4 lever).
+    Incompatible with ``in_affine``.
     """
-    b_, n_d, cin, s0 = x.shape
+    b_, n_d, cin1, s0 = x.shape
     assert s0 == h * w
     cout = weights.shape[-1]
+    xs_in = [x]
+    ws_in = [weights]
+    pair_bias = None
+    if pair is not None:
+        assert in_affine is None, "pair mode is incompatible with in_affine"
+        x2, w2 = pair[0], pair[1]
+        pair_bias = pair[2] if len(pair) > 2 else None
+        assert x2.shape[0] == b_ and x2.shape[1] == n_d and x2.shape[3] == s0
+        assert w2.shape[-1] == cout
+        xs_in.append(x2)
+        ws_in.append(w2)
+    cins = tuple(xi.shape[2] for xi in xs_in)
+    cin = sum(cins)
+    n_in = len(xs_in)
     if not interpret:
         assert cin % 2 == 0, "bf16 pair packing needs even C_in"
+        if n_in > 1:
+            # each input's rows must keep bf16 pairs aligned in the pad
+            # scratch (the int32 bitcast packs rows 2k/2k+1 together)
+            assert all(c % 2 == 0 for c in cins), (
+                "pair mode needs even per-input channel counts"
+            )
     P = planes or _auto_planes(n_d, cin, cout, h * w, (h + 2) * w)
     assert n_d % P == 0, f"planes={P} must divide D={n_d}"
     # (3, C_out, 9, C_in): w_prep4[dz, co, t, ci] = weights[dz, dy, dx, ci, co]
+    # (pair mode: C_in is the concat of the per-input channel segments, in
+    # input order — identical to conv over the concatenated tensor)
+    w_cat = (
+        jnp.concatenate([jnp.asarray(wi, jnp.float32) for wi in ws_in], axis=3)
+        if n_in > 1
+        else jnp.asarray(weights, jnp.float32)
+    )
     w_prep4 = jnp.transpose(
-        jnp.asarray(weights, jnp.float32), (0, 4, 1, 2, 3)
+        w_cat, (0, 4, 1, 2, 3)
     ).reshape(3, cout, 9, cin).astype(jnp.bfloat16)
     w_prep = w_prep4.reshape(3, cout, 9 * cin)
 
@@ -359,13 +456,14 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     mem = pl.ANY if interpret else pltpu.VMEM
     n_groups = n_d // P
 
+    has_pair_bias = pair_bias is not None
     in_specs = []
     operands = []
     if P == 1:
         kern = partial(
-            _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d,
+            _kernel, cin=cin, cout=cout, h=h, wdt=w, n_d=n_d, n_in=n_in,
             interpret=interpret, has_affine=has_affine, has_bias=has_bias,
-            emit_stats=emit_stats,
+            has_pair_bias=has_pair_bias, emit_stats=emit_stats,
         )
         idx_maps = [
             lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0),
@@ -379,8 +477,9 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
     else:
         kern = partial(
             _kernel_mp, planes=P, cin=cin, cout=cout, h=h, wdt=w,
-            n_groups=n_groups, interpret=interpret, has_affine=has_affine,
-            has_bias=has_bias, emit_stats=emit_stats,
+            n_groups=n_groups, n_in=n_in, cins=cins, interpret=interpret,
+            has_affine=has_affine, has_bias=has_bias,
+            has_pair_bias=has_pair_bias, emit_stats=emit_stats,
         )
         idx_maps = [
             (lambda j: lambda b, g: (
@@ -411,22 +510,28 @@ def conv3d_cs(x, weights, bias, *, h, w, interpret: bool = False,
             memory_space=mem,
         )
         acc_rows = P * cout
-    for im in idx_maps:
-        if P == 1:
-            in_specs.append(
-                pl.BlockSpec((1, 1, cin, s0), im, memory_space=mem)
-            )
-        else:
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, 1, cin, s0),
-                    (lambda im: lambda b, g: (b, *im(b, g)))(im),
-                    memory_space=mem,
+    for xi, ci in zip(xs_in, cins):
+        for im in idx_maps:
+            if P == 1:
+                in_specs.append(
+                    pl.BlockSpec((1, 1, ci, s0), im, memory_space=mem)
                 )
-            )
-        operands.append(x.astype(jnp.bfloat16))
+            else:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1, 1, ci, s0),
+                        (lambda im: lambda b, g: (b, *im(b, g)))(im),
+                        memory_space=mem,
+                    )
+                )
+            operands.append(xi.astype(jnp.bfloat16))
     in_specs.append(w_spec)
     operands.append(w_operand)
+    if has_pair_bias:
+        in_specs.append(
+            pl.BlockSpec((cins[-1],), (lambda b, d: (0,)), memory_space=mem)
+        )
+        operands.append(jnp.asarray(pair_bias, jnp.bfloat16))
     if has_bias:
         in_specs.append(
             pl.BlockSpec((cout,), (lambda b, d: (0,)), memory_space=mem)

@@ -319,3 +319,90 @@ def test_pallas_cs_model_path_matches_fast():
     )
     scale = np.abs(np.asarray(ref, np.float32)).mean() + 1e-3
     assert diff.max() / scale < 0.5, (diff.max(), scale)
+
+
+def test_conv3d_cs_pair_mode_bit_identical():
+    """Pair mode (VERDICT r4 item 4 lever): conv over two separate inputs
+    with the second input's per-channel bias folded into its plane loads
+    must be BIT-identical to conv(concat([x1, x2 + bias2])) — the in-VMEM
+    concat changes where bytes come from, not the roll/dot structure —
+    across P values, uneven channel splits, and with/without stats."""
+    from delivr_cfos_tpu.ops.pallas.conv3d_cs import conv3d_cs
+
+    rng = np.random.default_rng(7)
+    B, D, H, W = 2, 8, 8, 16
+    cout = 8
+    for c1, c2, planes in ((4, 4, 0), (4, 4, 1), (2, 6, 2), (32, 32, 4)):
+        x1 = jnp.asarray(rng.normal(size=(B, D, c1, H * W)), jnp.bfloat16)
+        x2 = jnp.asarray(rng.normal(size=(B, D, c2, H * W)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, c1 + c2, cout)), jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(c2,)), jnp.float32)
+        x2b = x2 + b2.astype(jnp.bfloat16)[None, None, :, None]
+        xc = jnp.concatenate([x1, x2b], axis=2)
+        ref, ref_st = conv3d_cs(
+            xc, w, None, h=H, w=W, interpret=True, emit_stats=True,
+            planes=planes,
+        )
+        got, got_st = conv3d_cs(
+            x1, w[:, :, :, :c1], None, h=H, w=W, interpret=True,
+            emit_stats=True, planes=planes,
+            pair=(x2, w[:, :, :, c1:], b2),
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        np.testing.assert_array_equal(np.asarray(ref_st), np.asarray(got_st))
+        # no-bias pair (the plain variant)
+        ref2 = conv3d_cs(
+            jnp.concatenate([x1, x2], axis=2), w, None, h=H, w=W,
+            interpret=True, planes=planes,
+        )
+        got2 = conv3d_cs(
+            x1, w[:, :, :, :c1], None, h=H, w=W, interpret=True,
+            planes=planes, pair=(x2, w[:, :, :, c1:]),
+        )
+        np.testing.assert_array_equal(np.asarray(ref2), np.asarray(got2))
+
+
+def test_upcat_pair_path_matches_concat_path():
+    """The UpCat pair fast path (no HBM concat, folded deconv bias) must be
+    bit-identical to the concat formulation at the model level."""
+    from delivr_cfos_tpu.models import basic_unet_cs as cs
+
+    rng = np.random.default_rng(3)
+    B, D, H, W = 1, 8, 16, 32  # plane 512 < interpret gate 1024 -> force
+    x = jnp.asarray(rng.normal(size=(B, D // 2, 8, (H // 2) * (W // 2))),
+                    jnp.bfloat16)
+    skip = jnp.asarray(rng.normal(size=(B, D, 4, H * W)), jnp.bfloat16)
+    p = {
+        "deconv_w": jnp.asarray(rng.normal(size=(8, 4, 2, 2, 2)), jnp.float32),
+        "deconv_b": jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+        "conv_0": {
+            "w": jnp.asarray(rng.normal(size=(3, 3, 3, 8, 4)), jnp.float32),
+            "scale": jnp.ones(4, jnp.float32),
+            "bias": jnp.zeros(4, jnp.float32),
+        },
+        "conv_1": {
+            "w": jnp.asarray(rng.normal(size=(3, 3, 3, 4, 4)), jnp.float32),
+            "scale": jnp.ones(4, jnp.float32),
+            "bias": jnp.zeros(4, jnp.float32),
+        },
+    }
+
+    def run(gate, monkey):
+        monkey.setattr(cs, "_PALLAS_MIN_PLANE", gate)
+        return cs._upcat_cs(x, skip, p, H, W)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        # force the Pallas/fused gate on for BOTH runs (interpret mode gates
+        # at 1024 otherwise); pair path picks itself inside _upcat_cs via
+        # _fused_eligible, so compare against a manual concat formulation
+        mp.setattr(cs, "_fused_eligible", lambda x, h, wd: True)
+        got = cs._upcat_cs(x, skip, p, H, W)
+        x0 = cs._deconv2x_cs(x, p["deconv_w"], p["deconv_b"], H // 2, W // 2)
+        xc = jnp.concatenate([skip.astype(x0.dtype), x0], axis=2)
+        want = cs._two_conv_cs(xc, p, H, W)
+    finally:
+        mp.undo()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
