@@ -57,11 +57,17 @@ def main():
     assert bytes(tr["mode"]).decode() == "intensity-ncc"
     A_est, A_true = tr["affine"], fx.gt_affine()
     pts = np.array([r[0] for r in fx._blob_gt()], np.float64)
-    err = np.linalg.norm(
-        (pts @ A_est[:, :3].T + A_est[:, 3])
-        - (pts @ A_true[:, :3].T + A_true[:, 3]),
-        axis=1,
+    disp = (pts @ A_est[:, :3].T + A_est[:, 3]) - (
+        pts @ A_true[:, :3].T + A_true[:, 3]
     )
+    err = np.linalg.norm(disp, axis=1)
+    # fixed-voxel frame: the GT affine scales ~(4.3, 5.0, 8.3)× into the
+    # template, so template-vox errors overstate slack ~6× (VERDICT r4
+    # item 5; scripts/probe_affine_e2e_gap.py)
+    scale = np.array(
+        [100.0 / fx.DS_SHAPE[0], 120.0 / fx.DS_SHAPE[1], 200.0 / fx.DS_SHAPE[2]]
+    )
+    err_fixed = np.linalg.norm(disp / scale, axis=1)
     import pandas as pd
 
     cells = pd.read_csv(
@@ -87,6 +93,8 @@ def main():
                 "registration_mode": "intensity-ncc",
                 "affine_err_mean_vox": round(float(err.mean()), 2),
                 "affine_err_max_vox": round(float(err.max()), 2),
+                "affine_err_fixed_mean_vox": round(float(err_fixed.mean()), 2),
+                "affine_err_fixed_max_vox": round(float(err_fixed.max()), 2),
                 "region_counts_match": True,
                 "n_cells": int(len(cells)),
             }

@@ -25,13 +25,37 @@ import pytest
 pytestmark = pytest.mark.slow  # ~2.2 GVox through the labeler, minutes-scale
 
 _CHILD = r"""
-import json, resource, sys
+import json, sys, threading, time
 import numpy as np
 
 from delivr_cfos_tpu.ops.connected_components import (
     component_statistics_streaming,
     label_out_of_core,
 )
+
+# peak ANONYMOUS memory, sampled from /proc/self/status. ru_maxrss is the
+# wrong metric here: resident FILE-BACKED memmap pages count toward it, and
+# on a big-RAM host with no memory pressure the kernel happily keeps all
+# ~11 GB of binary+labels pages resident (measured 11.6 GB maxrss while the
+# algorithm's own allocations stayed ~2 GB). File pages are reclaimable
+# under pressure by definition; the out-of-core contract is about the
+# anonymous working set.
+_peak_anon = [0.0]
+
+
+def _watch_anon():
+    while True:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("RssAnon:"):
+                    _peak_anon[0] = max(
+                        _peak_anon[0], int(line.split()[1]) / 1024.0
+                    )
+                    break
+        time.sleep(0.05)
+
+
+threading.Thread(target=_watch_anon, daemon=True).start()
 
 tmp = sys.argv[1]
 SHAPE = (1300, 1300, 1300)          # 2.197e9 voxels > 2**31 = 2.147e9
@@ -103,7 +127,7 @@ for (z, y, x) in corners[:5]:
     if not (blk > 0).all() or np.unique(blk).size != 1:
         checks["straddlers_single_label"] = False
 
-checks["maxrss_mb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+checks["peak_anon_mb"] = _peak_anon[0]
 print(json.dumps(checks))
 """
 
@@ -125,6 +149,11 @@ def test_label_out_of_core_past_int32_guard(tmp_path):
     assert checks["streaming_stats_agree"]
     assert checks["straddlers_single_label"]
     # the whole point of out-of-core: 2.2 GB volume + 8.8 GB labels never
-    # co-resident — bound peak RSS well below the 11 GB in-RAM footprint
-    # (slab look-ahead with workers=2 keeps <= 3 slabs in flight)
-    assert checks["maxrss_mb"] < 4500, f"maxrss {checks['maxrss_mb']:.0f} MB"
+    # co-resident — bound the peak ANONYMOUS working set well below the
+    # 11 GB in-RAM footprint (slab look-ahead with workers=2 keeps <= 3
+    # slabs in flight; file-backed memmap pages are excluded — the kernel
+    # keeps them resident on a big-RAM host but reclaims them under
+    # pressure, see the child's RssAnon rationale)
+    assert checks["peak_anon_mb"] < 4500, (
+        f"peak anon {checks['peak_anon_mb']:.0f} MB"
+    )

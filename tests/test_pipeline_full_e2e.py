@@ -395,6 +395,19 @@ def test_registration_is_intensity_ncc_and_accurate(full_run):
     # the annotation are ≥ 19.6 template voxels, so region assignment holds.
     assert err.mean() < 11.0, err
     assert err.max() < 16.0, err
+    # the scale-honest frame (VERDICT r4 item 5): this fixture's GT affine
+    # blows (23, 24, 24) up by ~(4.3, 5.0, 8.3)× into the template, so
+    # template-vox errors overstate registration slack ~6×. Pulled back to
+    # fixed voxels the same displacement must sit in the envelope the
+    # Allen-scale probe (1.11) and mosaic phantom (1.27) establish —
+    # scripts/probe_affine_e2e_gap.py measured CPU 0.62 / TPU 0.56 mean on
+    # the blob-free pair (TPU ≤ CPU: no backend precision sensitivity).
+    scale = np.array(
+        [100.0 / DS_SHAPE[0], 120.0 / DS_SHAPE[1], 200.0 / DS_SHAPE[2]]
+    )
+    err_fixed = np.linalg.norm((est - true) / scale, axis=1)
+    assert err_fixed.mean() < 2.0, err_fixed
+    assert err_fixed.max() < 3.2, err_fixed
     # collection CSV self-identifies the same mode
     coll = os.path.join(
         cfg.atlas_alignment.collection_folder,
