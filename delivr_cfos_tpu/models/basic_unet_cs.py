@@ -33,6 +33,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _deconv_impl() -> str:
+    """'convt' (lax.conv_transpose) or 'dot' (single phase-major matmul +
+    one raster transpose) — A/B measured on TPU, see _deconv2x_cs."""
+    import os
+
+    return os.environ.get("DELIVR_DECONV_IMPL", "convt")
+
+
 def _conv_cs(x, w, b, h, wd):
     """3³ SAME conv on (B, D, C, S); Pallas for big planes, XLA otherwise.
     Off-TPU (interpreter mode, tests) only the big planes go through the
@@ -181,46 +189,86 @@ def _conv_stats_cs(x, w, h, wd, pair=None):
 
 
 def _maxpool2_cs(x, h, wd):
-    """2× max-pool via minor-dim reshapes + pairwise maxima — all splits of
-    S = h·w are free (contiguous), so this stays pure VPU work; the
+    """2× max-pool via pairwise maxima, pooling d → h → w (major dims
+    first). Max is exact (no rounding), so any pooling order is
+    bit-identical; the ORDER matters only for layout: pooling w first
+    (the r2–r5 formulation) made XLA relayout the full-res tensor D-minor
+    to vectorize the lane-pair max (r5 trace: a 1.17 ms copy + 0.89 ms
+    fused max + two 0.5 ms copies at level 0), while pooling the major
+    dims first shrinks the tensor 4× before the lane-strided step. The
     reduce_window formulation measured 7 ms/level-0 on the same shapes
-    (layout-hostile window reduction)."""
+    (layout-hostile window reduction); pool-w-first stays available via
+    DELIVR_POOL_IMPL=wfirst."""
     b, d, c, s = x.shape
-    y = x.reshape(b, d, c, h, wd // 2, 2)
-    y = jnp.maximum(y[..., 0], y[..., 1])  # pool w
-    y = y.reshape(b, d, c, h // 2, 2, wd // 2)
+    import os
+
+    if os.environ.get("DELIVR_POOL_IMPL", "dfirst") == "wfirst":
+        y = x.reshape(b, d, c, h, wd // 2, 2)
+        y = jnp.maximum(y[..., 0], y[..., 1])  # pool w
+        y = y.reshape(b, d, c, h // 2, 2, wd // 2)
+        y = jnp.maximum(y[:, :, :, :, 0], y[:, :, :, :, 1])  # pool h
+        y = y.reshape(b, d // 2, 2, c, (h // 2) * (wd // 2))
+        y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d
+        return y, h // 2, wd // 2
+    y = x.reshape(b, d // 2, 2, c, s)
+    y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d (major: free split)
+    y = y.reshape(b, d // 2, c, h // 2, 2, wd)
     y = jnp.maximum(y[:, :, :, :, 0], y[:, :, :, :, 1])  # pool h
-    y = y.reshape(b, d // 2, 2, c, (h // 2) * (wd // 2))
-    y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d
+    y = y.reshape(b, d // 2, c, (h // 2) * (wd // 2), 2)
+    y = jnp.maximum(y[..., 0], y[..., 1])  # pool w (on the 4x-smaller tensor)
     return y, h // 2, wd // 2
 
 
 def _deconv2x_cs(x, w, b, h, wd):
     """(B, D, C, S) → (B, 2D, O, 4S): 2×2×2 stride-2 transposed conv.
 
-    Formulated as ``lax.conv_transpose`` over (B, D, C, H, W) with the
-    feature dim in NDCHW position — XLA's native transposed-conv emitter
-    interleaves the 2³ phase block without the layout copies the explicit
-    dot → reshape → transpose formulation pays (measured 6.9 vs 31.7 ms at
-    the upcat_1 shape, scripts/probe_deconv.py variants E vs A; bit-
-    identical output). Weights are torch ConvTranspose3d layout
-    (C_in, C_out, 2, 2, 2) (reference: inference.py:190-197 via MONAI
-    UpCat), flipped to regular-conv orientation for conv_transpose.
+    Two formulations, selected by ``DELIVR_DECONV_IMPL``:
+
+    - ``dot`` — one MXU dot to the phase-major tensor (B, D, S, 8·O)
+      (stride-2 kernel-2 transposed conv touches each input voxel exactly
+      once per (a, b2, c2) output phase, so the whole deconv is the single
+      matmul x · W[c, (a, b2, c2, o)]) followed by ONE transpose into
+      raster order. The conv_transpose route paid fusion (2.19 ms) + a
+      canonical-layout copy (2.24 ms) + an input-layout copy (1.17 ms) at
+      the upcat_1 shape (r5 trace); this pays the dot + one copy.
+    - ``convt`` — ``lax.conv_transpose`` over (B, D, C, H, W) in NDCHW
+      (the r3–r5 default; measured 6.9 vs 31.7 ms against the r3 explicit
+      dot variant that transposed into a hostile layout).
+
+    Weights are torch ConvTranspose3d layout (C_in, C_out, 2, 2, 2)
+    (reference: inference.py:190-197 via MONAI UpCat). Both routes
+    accumulate in f32 and round once to bf16 — bit-identical outputs
+    (asserted in tests/test_pallas_kernels.py).
 
     ``b=None`` skips the bias broadcast-add (the UpCat fast path folds it
     into the consumer conv's plane loads instead, bit-identically)."""
     bsz, d, c, s = x.shape
     o = w.shape[1]
-    xg = x.reshape(bsz, d, c, h, wd)
-    wt = jnp.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].astype(x.dtype)
-    y = jax.lax.conv_transpose(
-        xg,
-        wt,
-        strides=(2, 2, 2),
-        padding="VALID",
-        dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
-    )
-    y = y.reshape(bsz, 2 * d, o, (2 * h) * (2 * wd))
+    if _deconv_impl() == "dot":
+        # torch ConvTranspose3d stride=kernel=2: out[2i+a] = Σ_c x[i]·w[a]
+        # — phase a taps kernel index a directly, no flip
+        w8 = jnp.transpose(w, (0, 2, 3, 4, 1)).reshape(c, 8 * o)
+        y = jax.lax.dot_general(
+            x,
+            w8.astype(x.dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (B, D, S, (a, b2, c2, O))
+        y = y.reshape(bsz, d, h, wd, 2, 2, 2, o)
+        # (B, D, h, wd, a, b2, c2, O) → (B, D, a, O, h, b2, wd, c2)
+        y = jnp.transpose(y, (0, 1, 4, 7, 2, 5, 3, 6))
+        y = y.reshape(bsz, 2 * d, o, (2 * h) * (2 * wd))
+    else:
+        xg = x.reshape(bsz, d, c, h, wd)
+        wt = jnp.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1]
+        y = jax.lax.conv_transpose(
+            xg,
+            wt.astype(x.dtype),
+            strides=(2, 2, 2),
+            padding="VALID",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+        )
+        y = y.reshape(bsz, 2 * d, o, (2 * h) * (2 * wd))
     if b is None:
         return y
     return y + b.astype(x.dtype)[None, None, :, None]

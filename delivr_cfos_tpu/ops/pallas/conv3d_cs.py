@@ -196,8 +196,13 @@ def _auto_planes(n_d, cin, cout, s0, sp, budget=15_500_000) -> int:
     boundary): double-buffered input/output blocks + pad + rolled + f32
     accumulator. cin = 32 @ full res fits P = 4; cin = 64 @ full res
     stays P = 1 (chunked P = 2 fits but measured slower — K = 576
-    already pipelines the MXU well)."""
-    for P in (4, 2, 1):
+    already pipelines the MXU well); narrow inputs (cin = 2, the model's
+    first conv) fit P = 8 — fewer, fatter programs for the K = 18
+    dispatch-bound case. P = 8 is only tried at cin ≤ 8: at wider cin it
+    can fit small pyramid levels too, but those keep their measured
+    picks (P = 4 beat 8 at the level-1 cin = 64 shape)."""
+    plane_opts = (8, 4, 2, 1) if cin <= 8 else (4, 2, 1)
+    for P in plane_opts:
         if n_d % P:
             continue
         est = (

@@ -406,3 +406,30 @@ def test_upcat_pair_path_matches_concat_path():
     finally:
         mp.undo()
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_deconv_dot_impl_matches_conv_transpose():
+    """The single-dot + one-transpose deconv must be bit-identical to the
+    conv_transpose formulation (both accumulate f32, round once to bf16)."""
+    import os
+    from delivr_cfos_tpu.models import basic_unet_cs as cs
+
+    rng = np.random.default_rng(11)
+    B, D, C, O, H, W = 2, 4, 8, 4, 6, 10
+    x = jnp.asarray(rng.normal(size=(B, D, C, H * W)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(C, O, 2, 2, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(O,)), jnp.float32)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setenv("DELIVR_DECONV_IMPL", "convt")
+        want = np.asarray(cs._deconv2x_cs(x, w, b, H, W))
+        want_nb = np.asarray(cs._deconv2x_cs(x, w, None, H, W))
+        mp.setenv("DELIVR_DECONV_IMPL", "dot")
+        got = np.asarray(cs._deconv2x_cs(x, w, b, H, W))
+        got_nb = np.asarray(cs._deconv2x_cs(x, w, None, H, W))
+    finally:
+        mp.undo()
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(want_nb, got_nb)
