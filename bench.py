@@ -198,7 +198,9 @@ model = BasicUNetConfig() if backend == "tpu" else BasicUNetConfig(
 # so repeat bench invocations skip it entirely
 import pickle, pathlib
 cache_key = f"cells-{backend}-{SHAPE}-{n_blobs}-{model.features}-150steps-v1"
-cache_dir = pathlib.Path(__file__).resolve().parent / ".bench_cache"
+# this child runs via `python -c` (no __file__); _run_child pins cwd to
+# the repo root, so the cache lives beside bench.py either way
+cache_dir = pathlib.Path.cwd() / ".bench_cache"
 cache_file = cache_dir / (cache_key.replace(" ", "") + ".pkl")
 params = None
 if cache_file.exists():
