@@ -16,6 +16,8 @@ only summation orders differ (bf16/f32 tolerance level).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -36,8 +38,6 @@ def _interpret() -> bool:
 def _deconv_impl() -> str:
     """'convt' (lax.conv_transpose) or 'dot' (single phase-major matmul +
     one raster transpose) — A/B measured on TPU, see _deconv2x_cs."""
-    import os
-
     return os.environ.get("DELIVR_DECONV_IMPL", "convt")
 
 
@@ -200,8 +200,6 @@ def _maxpool2_cs(x, h, wd):
     (layout-hostile window reduction); pool-w-first stays available via
     DELIVR_POOL_IMPL=wfirst."""
     b, d, c, s = x.shape
-    import os
-
     if os.environ.get("DELIVR_POOL_IMPL", "dfirst") == "wfirst":
         y = x.reshape(b, d, c, h, wd // 2, 2)
         y = jnp.maximum(y[..., 0], y[..., 1])  # pool w
