@@ -65,10 +65,10 @@ withheld its one JSON line until all five children finished. Now:
 - children share a persistent XLA compilation cache (``.jax_cache/``) so
   repeat invocations skip most compile time.
 
-If enrichments (parity/tta/cells) complete within budget, the final line
-re-prints the headline metrics plus the enrichment fields; consumers that
-parse the last JSON line get the superset, consumers that parse the first
-get the headline.
+As each enrichment child (cells/parity/tta) completes within budget, the
+cumulative result line re-prints with that child's fields added; consumers
+that parse the last JSON line get everything that landed before any kill,
+consumers that parse the first get the headline.
 """
 
 import json
@@ -374,7 +374,9 @@ def main():
     print(json.dumps(result), flush=True)
 
     # --- enrichments, each gated on the remaining wall budget -------------
-    enriched = False
+    # the cumulative result line re-prints after EVERY enrichment child:
+    # the driver keeps the last parseable JSON line, so a driver-side kill
+    # between children still records everything that landed so far
     if fast["backend"] == "tpu":
         # fast-vs-parity cell-count equality ON THE CHIP (VERDICT r3 item 2);
         # cheap when the .bench_cache params hit, ~training-dominated when cold
@@ -397,7 +399,7 @@ def main():
                     "flips_within_logit_margin",
                 )
             }
-            enriched = True
+            print(json.dumps(result), flush=True)
         parity = (
             _run_child("default", "parity", timeout=min(300.0, left() - 40))
             if left() > 180
@@ -405,7 +407,7 @@ def main():
         )
         if parity is not None:
             result["parity_mode_value"] = round(parity["gvox_per_s"], 4)
-            enriched = True
+            print(json.dumps(result), flush=True)
         # reference-default semantics: TTA on = 13 full-volume passes
         # (inference.py:269-279); tta_value is unique-output GVox/s for the
         # complete 13-pass run (VERDICT r2 item 4: measured, not projected)
@@ -416,10 +418,7 @@ def main():
         )
         if tta is not None:
             result["tta_value"] = round(tta["gvox_per_s"], 4)
-            enriched = True
-
-    if enriched:
-        print(json.dumps(result), flush=True)
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
