@@ -92,11 +92,18 @@ from delivr_cfos_tpu.engine.sliding_window import SlidingWindowConfig, infer_vol
 from delivr_cfos_tpu.models.basic_unet import BasicUNetConfig, init_params
 
 backend = jax.default_backend()
-# brain-like synthetic volume: bright foreground half, empty half
+# brain-like synthetic volume: bright foreground half, empty half.
+# Generated ON DEVICE: this rig's host->device tunnel measured as low as
+# ~0.1 MB/s under load — uploading even 35 MB could eat the child's whole
+# timeout (and production TPU hosts feed chips over PCIe/DMA anyway)
 Z, Y, X = (192, 480, 384) if backend == "tpu" else (96, 192, 128)
-rng = np.random.default_rng(0)
-vol = np.zeros((Z, Y, X), np.uint16)
-vol[:, : Y // 2] = (rng.random((Z, Y // 2, X)) * 900 + 100).astype(np.uint16)
+n_vox = Z * Y * X
+bright = (
+    jax.random.uniform(jax.random.PRNGKey(0), (Z, Y // 2, X)) * 900 + 100
+).astype(jnp.uint16)
+vol_dev = jnp.concatenate(
+    [bright, jnp.zeros((Z, Y - Y // 2, X), jnp.uint16)], axis=1
+)
 
 cfg = SlidingWindowConfig(
     roi=(96, 96, 64), overlap=0.5,
@@ -115,11 +122,7 @@ else:
     model_cfg = BasicUNetConfig()
 params = init_params(jax.random.PRNGKey(0), model_cfg)
 
-# upload the volume once: the bench measures per-chip compute throughput,
-# not this test rig's ~30 MB/s HTTP relay (production TPU hosts feed chips
-# over PCIe/DMA; the streaming engine pipelines uploads per slab)
-vol_dev = jnp.asarray(vol)
-_ = float(np.asarray(vol_dev[0, 0, 0]))
+_ = float(np.asarray(vol_dev[0, 0, 0]))  # force device materialization
 
 def run_once():
     out, _ = infer_volume(params, vol_dev, cfg, model_cfg, return_binary=False)
@@ -132,7 +135,7 @@ t0 = time.perf_counter()
 for _ in range(n_rep):
     run_once()
 dt = (time.perf_counter() - t0) / n_rep
-gvox = vol.size / dt / 1e9
+gvox = n_vox / dt / 1e9
 print(json.dumps({"gvox_per_s": gvox, "backend": backend, "seconds": dt,
                   "mode": mode}))
 """
@@ -179,15 +182,23 @@ from delivr_cfos_tpu.training import TrainConfig, make_train_step
 backend = jax.default_backend()
 SHAPE = (96, 256, 256) if backend == "tpu" else (32, 96, 96)
 rng = np.random.default_rng(0)
-# strictly positive background: the 30-iter erosion re-mask is then a no-op
-# (border_value=1), as on a fully-imaged volume
-vol = (rng.random(SHAPE) * 300 + 10).astype(np.uint16)
+# the volume lives ON DEVICE from birth (the tunnel measured as low as
+# ~0.1 MB/s under load — no bulk uploads anywhere in this child):
+# strictly positive background (the 30-iter erosion re-mask is then a
+# no-op, border_value=1, as on a fully-imaged volume) + bright blobs
+# placed by dynamic_update_slice at host-chosen centers
+vol_dev = (
+    jax.random.uniform(jax.random.PRNGKey(0), SHAPE) * 300 + 10
+).astype(jnp.uint16)
 centers = []
 n_blobs = 60 if backend == "tpu" else 12
+blob = jnp.full((2, 6, 6), 50000, jnp.uint16)
 for _ in range(n_blobs):
     c = rng.integers((2, 5, 5), np.array(SHAPE) - (2, 5, 5))
     centers.append(c)
-    vol[c[0]-1:c[0]+1, c[1]-3:c[1]+3, c[2]-3:c[2]+3] = 50000
+    vol_dev = jax.lax.dynamic_update_slice(
+        vol_dev, blob, (int(c[0]) - 1, int(c[1]) - 3, int(c[2]) - 3)
+    )
 
 model = BasicUNetConfig() if backend == "tpu" else BasicUNetConfig(
     features=(4, 4, 8, 16, 32, 4)
@@ -197,7 +208,8 @@ model = BasicUNetConfig() if backend == "tpu" else BasicUNetConfig(
 # the production-size UNet); cache the trained params per fixture config
 # so repeat bench invocations skip it entirely
 import pickle, pathlib
-cache_key = f"cells-{backend}-{SHAPE}-{n_blobs}-{model.features}-150steps-v1"
+# v2: device-generated fixture (jax-RNG volume, device-sliced patches)
+cache_key = f"cells-{backend}-{SHAPE}-{n_blobs}-{model.features}-150steps-v2"
 # this child runs via `python -c` (no __file__); _run_child pins cwd to
 # the repo root, so the cache lives beside bench.py either way
 cache_dir = pathlib.Path.cwd() / ".bench_cache"
@@ -215,8 +227,20 @@ if params is None:
     init_state, step = make_train_step(tc)
     params, opt_state = init_state()
     win_rng = np.random.default_rng(11)
+
+    @jax.jit
+    def gather_batch(vol_d, starts):
+        # patches are sliced ON DEVICE from the resident volume — the old
+        # host-slice + upload path moved ~78 MB over the tunnel per
+        # training run
+        def one(s):
+            p = jax.lax.dynamic_slice(vol_d, (s[0], s[1], s[2]), (32, 32, 32))
+            return p.astype(jnp.float32), (p > 40000).astype(jnp.float32)
+        xs, ys = jax.vmap(one)(starts)
+        return xs[..., None], ys[..., None]
+
     for i in range(150):
-        xs, ys = [], []
+        starts = []
         for k in range(4):
             if k % 2 == 0:
                 c = centers[win_rng.integers(len(centers))]
@@ -224,14 +248,13 @@ if params is None:
                 y0 = int(np.clip(c[1]-16, 0, SHAPE[1]-32))
                 x0 = int(np.clip(c[2]-16, 0, SHAPE[2]-32))
             else:
-                z0, y0, x0 = win_rng.integers((0,0,0), np.array(SHAPE)-32, endpoint=True)
-            patch = vol[z0:z0+32, y0:y0+32, x0:x0+32]
-            xs.append(patch.astype(np.float32))
-            ys.append((patch > 40000).astype(np.float32))
-        params, opt_state, _ = step(
-            params, opt_state,
-            jnp.asarray(np.stack(xs)[..., None]), jnp.asarray(np.stack(ys)[..., None]),
-        )
+                z0, y0, x0 = (
+                    int(v) for v in
+                    win_rng.integers((0,0,0), np.array(SHAPE)-32, endpoint=True)
+                )
+            starts.append((z0, y0, x0))
+        xb, yb = gather_batch(vol_dev, jnp.asarray(starts, jnp.int32))
+        params, opt_state, _ = step(params, opt_state, xb, yb)
     cache_dir.mkdir(exist_ok=True)
     host_params = jax.tree_util.tree_map(np.asarray, params)
     tmp = cache_file.with_suffix(".tmp")
@@ -242,12 +265,7 @@ if params is None:
 roi = (96, 96, 64) if backend == "tpu" else (16, 16, 16)
 cfg = SlidingWindowConfig(roi=roi, overlap=0.5, tta=False,
                           batch_size=0 if backend == "tpu" else 2)
-vol_dev = jnp.asarray(vol)
-_ = float(np.asarray(vol_dev[0, 0, 0]))
-
-def run_mode(model_cfg):
-    logits, binaries = infer_volume(params, vol_dev, cfg, model_cfg)
-    return np.asarray(logits), np.asarray(binaries)
+_ = float(np.asarray(vol_dev[0, 0, 0]))  # force device materialization
 
 parity_cfg = BasicUNetConfig(
     features=model.features, precision="highest", conv_impl="xla3d"
@@ -257,8 +275,22 @@ fast_cfg = (
     if backend == "tpu"
     else BasicUNetConfig.fast(features=model.features, conv_impl="xla3d")
 )
-log_p, bin_p = run_mode(parity_cfg)
-log_f, bin_f = run_mode(fast_cfg)
+# logits stay ON DEVICE (f32 full volumes would be ~50 MB of downloads
+# through the slow tunnel) — the deviation analysis reduces to scalars
+# there; only the uint8 binaries come back, for host labeling
+log_p_d, bin_p_d = infer_volume(params, vol_dev, cfg, parity_cfg)
+log_f_d, bin_f_d = infer_volume(params, vol_dev, cfg, fast_cfg)
+flip_d = bin_p_d != bin_f_d
+max_dev = float(np.asarray(jnp.abs(log_f_d - log_p_d).max()))
+# principled bound: every flipped voxel's parity logit must be within the
+# measured deviation of the cut (sigmoid(x) >= 0.5 <=> x >= 0)
+within = bool(
+    np.asarray(
+        jnp.where(flip_d, jnp.abs(log_p_d), 0.0).max() <= max_dev + 1e-6
+    )
+)
+n_flipped = int(np.asarray(flip_d.sum()))
+bin_p = np.asarray(bin_p_d); bin_f = np.asarray(bin_f_d)
 
 lab_p, n_p = label_volume_host(bin_p)
 lab_f, n_f = label_volume_host(bin_f)
@@ -269,17 +301,12 @@ cent_ok = False
 if n_p == n_f and n_p > 0:
     op = np.lexsort(cp.T); of = np.lexsort(cf.T)
     cent_ok = bool(np.allclose(cp[op], cf[of], atol=1.0))
-flipped = bin_p != bin_f
-max_dev = float(np.abs(log_f - log_p).max())
-# principled bound: every flipped voxel's parity logit must be within the
-# measured deviation of the cut (sigmoid(x) >= 0.5 <=> x >= 0)
-within = bool((np.abs(log_p[flipped]) <= max_dev + 1e-6).all())
 print(json.dumps({
     "backend": backend,
     "n_parity": int(n_p), "n_fast": int(n_f),
     "cells_equal": bool(n_p == n_f and n_p == n_blobs),
     "centroids_agree": cent_ok,
-    "flipped_voxels": int(flipped.sum()),
+    "flipped_voxels": n_flipped,
     "max_abs_logit_dev": max_dev,
     "flips_within_logit_margin": within,
 }))
