@@ -189,18 +189,20 @@ def _conv_stats_cs(x, w, h, wd, pair=None):
 
 
 def _maxpool2_cs(x, h, wd):
-    """2× max-pool via pairwise maxima, pooling d → h → w (major dims
-    first). Max is exact (no rounding), so any pooling order is
-    bit-identical; the ORDER matters only for layout: pooling w first
-    (the r2–r5 formulation) made XLA relayout the full-res tensor D-minor
-    to vectorize the lane-pair max (r5 trace: a 1.17 ms copy + 0.89 ms
-    fused max + two 0.5 ms copies at level 0), while pooling the major
-    dims first shrinks the tensor 4× before the lane-strided step. The
-    reduce_window formulation measured 7 ms/level-0 on the same shapes
-    (layout-hostile window reduction); pool-w-first stays available via
-    DELIVR_POOL_IMPL=wfirst."""
+    """2× max-pool via pairwise maxima. Max is exact (no rounding), so
+    every decomposition is bit-identical; only the LAYOUT cost differs.
+    Default ('d4slice', probed in scripts/probe_pool.py on the level-0
+    shape): free d-pool (major-dim split), then ONE reshape exposing the
+    h/w pair axes and a maximum over its four strided phase slices — XLA
+    fuses the four reads into one kLoop pass with no materialized
+    intermediate. The r5 trace of the previous default ('dfirst', pool
+    d → h → w stepwise) showed its h-step materializing a reshape
+    (1.12 ms) plus a {1,2,5,3,0,4} relayout copy (1.28 ms) at level 0;
+    probe: d4slice 5.90 vs dfirst 8.25 vs wfirst 8.20 vs reduce_window
+    10.45 ms. Older formulations stay available via DELIVR_POOL_IMPL."""
     b, d, c, s = x.shape
-    if os.environ.get("DELIVR_POOL_IMPL", "dfirst") == "wfirst":
+    impl = os.environ.get("DELIVR_POOL_IMPL", "d4slice")
+    if impl == "wfirst":
         y = x.reshape(b, d, c, h, wd // 2, 2)
         y = jnp.maximum(y[..., 0], y[..., 1])  # pool w
         y = y.reshape(b, d, c, h // 2, 2, wd // 2)
@@ -208,13 +210,28 @@ def _maxpool2_cs(x, h, wd):
         y = y.reshape(b, d // 2, 2, c, (h // 2) * (wd // 2))
         y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d
         return y, h // 2, wd // 2
-    y = x.reshape(b, d // 2, 2, c, s)
-    y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d (major: free split)
-    y = y.reshape(b, d // 2, c, h // 2, 2, wd)
-    y = jnp.maximum(y[:, :, :, :, 0], y[:, :, :, :, 1])  # pool h
-    y = y.reshape(b, d // 2, c, (h // 2) * (wd // 2), 2)
-    y = jnp.maximum(y[..., 0], y[..., 1])  # pool w (on the 4x-smaller tensor)
-    return y, h // 2, wd // 2
+    if impl == "dfirst":
+        y = x.reshape(b, d // 2, 2, c, s)
+        y = jnp.maximum(y[:, :, 0], y[:, :, 1])  # pool d (major: free split)
+        y = y.reshape(b, d // 2, c, h // 2, 2, wd)
+        y = jnp.maximum(y[:, :, :, :, 0], y[:, :, :, :, 1])  # pool h
+        y = y.reshape(b, d // 2, c, (h // 2) * (wd // 2), 2)
+        y = jnp.maximum(y[..., 0], y[..., 1])  # pool w (4x-smaller tensor)
+        return y, h // 2, wd // 2
+    # pool d via strided slices on the MAJOR dim (no (d/2, 2) reshape),
+    # then ONE reshape exposing the h/w pair axes and a fused maximum over
+    # its four phase slices. In-model every d-pool formulation draws a
+    # D-minor relayout copy from XLA; this ordering puts it on the
+    # already-d-halved tensor (in-model trace: pool chain ~4.4 ms (r5
+    # dfirst) → ~2.4 ms; hw-first moved the relayout to the full-res
+    # tensor and measured worse, 35.0 vs 34.6 ms/forward).
+    y = jnp.maximum(x[:, 0::2], x[:, 1::2])
+    v = y.reshape(b, d // 2, c, h // 2, 2, wd // 2, 2)
+    m = jnp.maximum(
+        jnp.maximum(v[:, :, :, :, 0, :, 0], v[:, :, :, :, 0, :, 1]),
+        jnp.maximum(v[:, :, :, :, 1, :, 0], v[:, :, :, :, 1, :, 1]),
+    )
+    return m.reshape(b, d // 2, c, (h // 2) * (wd // 2)), h // 2, wd // 2
 
 
 def _deconv2x_cs(x, w, b, h, wd):

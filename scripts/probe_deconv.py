@@ -174,6 +174,40 @@ def variant_e(x, w, b):
     )
 
 
+def variant_g(x, w, b):
+    # z-phase split: out[2i+a] = 2D stride-2 transposed conv of plane i with
+    # w[:, :, a] — two kz=1 conv_transposes (z stride 1), then the
+    # z-interleave is a FREE reshape ((D, 2) are adjacent in this layout)
+    xg = x.reshape(B, D, C, H, W)
+    outs = []
+    for a in range(2):
+        # (1, 2, 2, C, O), y/x flipped like variant E's kernel prep
+        wt = jnp.transpose(w[:, :, a], (2, 3, 0, 1))[::-1, ::-1][None]
+        y = jax.lax.conv_transpose(
+            xg, wt.astype(x.dtype), strides=(1, 2, 2), padding="VALID",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+        )  # (B, D, O, 2H, 2W)
+        outs.append(y)
+    y = jnp.stack(outs, axis=2)  # (B, D, 2, O, 2H, 2W)
+    return (
+        y.reshape(B, 2 * D, O, 4 * S) + b.astype(x.dtype)[None, None, :, None]
+    )
+
+
+def variant_h(x, w, b):
+    # conv_transpose in C-minor NDHWC (XLA's native conv layout) with
+    # explicit transposes at the boundary — tests whether the emitter's
+    # canonical-layout copies are cheaper when it never fights the layout
+    xg = jnp.transpose(x.reshape(B, D, C, H, W), (0, 1, 3, 4, 2))
+    wt = jnp.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].astype(x.dtype)
+    y = jax.lax.conv_transpose(
+        xg, wt, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )  # (B, 2D, 2H, 2W, O)
+    y = jnp.transpose(y, (0, 1, 4, 2, 3)).reshape(B, 2 * D, O, 4 * S)
+    return y + b.astype(x.dtype)[None, None, :, None]
+
+
 def time_variant(name, fn, x, w, b, n_chain=20):
     @functools.partial(jax.jit, static_argnums=(1,))
     def chain(x, n):
@@ -214,7 +248,8 @@ def main():
     # correctness vs variant A first (on small slices, via jit once)
     ref = np.asarray(jax.jit(variant_a)(x, w, b), np.float32)
     for name, fn in [("B", variant_b), ("C", variant_c), ("D", variant_d),
-                     ("E", variant_e), ("F", variant_f)]:
+                     ("E", variant_e), ("F", variant_f), ("G", variant_g),
+                     ("H", variant_h)]:
         try:
             got = np.asarray(jax.jit(fn)(x, w, b), np.float32)
             err = np.abs(got - ref).max()
@@ -223,8 +258,8 @@ def main():
             print(f"variant {name}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
 
-    for name, fn in [("A", variant_a), ("B", variant_b), ("C", variant_c),
-                     ("D", variant_d), ("E", variant_e), ("F", variant_f)]:
+    for name, fn in [("A", variant_a), ("E", variant_e), ("G", variant_g),
+                     ("H", variant_h)]:
         time_variant(name, fn, x, w, b)
 
 

@@ -29,9 +29,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     cfg = BasicUNetConfig.fast()
     params = init_params(jax.random.PRNGKey(0), cfg)
-    x = jnp.asarray(
-        np.random.default_rng(0).random((batch, 96, 96, 64, 1)).astype(np.float32)
-    )
+    # generate ON DEVICE: this rig's host->device tunnel can run at
+    # ~0.1 MB/s under load (see bench.py) — a 19 MB upload can hang for
+    # minutes and a killed-mid-transfer process wedges the grant
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 96, 96, 64, 1))
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def chain(x, n):
@@ -65,9 +66,11 @@ def main():
     total = sum(per_op.values())
     print(f"device total over {n_steps} steps: {total:.1f} ms "
           f"({total / n_steps:.2f} ms/step)")
-    print(f"{'op':55s} {'ms/step':>8s} {'%':>5s}")
+    width = int(os.environ.get("DELIVR_TRACE_NAME_WIDTH", "55"))
+    print(f"{'op':{width}s} {'ms/step':>8s} {'%':>5s}")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:28]:
-        print(f"{name[:55]:55s} {ms / n_steps:8.3f} {100 * ms / total:5.1f}")
+        print(f"{name[:width]:{width}s} {ms / n_steps:8.3f} "
+              f"{100 * ms / total:5.1f}")
 
 
 if __name__ == "__main__":
